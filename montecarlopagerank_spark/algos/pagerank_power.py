@@ -1,0 +1,185 @@
+"""Power-iteration PageRank as pure DataFrame joins/aggregations.
+
+Semantics match the reference (PowerIterationPageRank.scala:56-142,
+SURVEY.md §2.6): init π = 1/n; per superstep each vertex sends π_v/deg(v)
+along every out-edge; dangling mass m (vertices with deg 0) is
+redistributed uniformly; update π'_u = ε/n + (1−ε)(Σ contribs_u + m/n);
+ε = 0.15 (MonteCarloPageRank.scala:28). Deliberate departures, documented
+per SURVEY.md §2.6 "reference bugs":
+
+* double-precision plain arithmetic instead of the reference's Float +
+  log-space dance (PowerIterationPageRank.scala:37-49) — unnecessary in
+  double space, and `groupBy(dst).sum()` plans partial+final hash
+  aggregation automatically (the reference's reduceByKey equivalent);
+* the dangling mass is a scalar aggregate carried via a broadcast 1-row
+  cross join — not the reference's `-1` sentinel row that pollutes the
+  vertex table and costs a `lookup(-1)` driver action per superstep
+  (PowerIterationPageRank.scala:88-89,111-119);
+* exactly `max_iters` supersteps with L∞ convergence stop (the reference
+  has an inclusive-range off-by-one and no convergence control,
+  PowerIterationPageRank.scala:78, Conf.scala:10).
+
+Scale shape: the loop-invariant (src, dst, inv_deg) edge table is hash-
+partitioned by src once and persisted; each superstep shuffles only the
+rank vector (one groupBy(dst) with map-side combine — the one unavoidable
+shuffle) and runs ONE job (checkpoint write); the convergence delta and
+dangling mass ride along as re-read aggregates over the (tiny) vertex-rank
+checkpoint, never over edges.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from montecarlopagerank_spark.operators.checkpoint import CheckpointManager
+
+EPS = 0.15  # jump probability, MonteCarloPageRank.scala:28
+
+
+def _prepare(edges: DataFrame, vertices: DataFrame | None):
+    """Loop-invariant structures: closed vertex set, out-degrees, and the
+    (src, dst, inv_deg) contribution-edge table partitioned by src."""
+    verts = (
+        vertices.select(F.col("vid").alias("v"))
+        if vertices is not None
+        else edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    out_deg = edges.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("out_deg"))
+    deg = verts.join(out_deg, "v", "left").select(
+        "v", F.coalesce("out_deg", F.lit(0)).alias("out_deg")
+    )
+    contrib_edges = edges.join(
+        deg.filter("out_deg > 0").withColumnRenamed("v", "src"), "src"
+    ).select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("inv_deg"))
+    return verts, deg, contrib_edges
+
+
+def pagerank_power(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    eps: float = EPS,
+    tol: float = 1e-6,
+    max_iters: int = 100,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    n_partitions: int | None = None,
+) -> tuple[DataFrame, dict[str, Any]]:
+    """Returns (``ranks(v:long, rank:double)``, info dict with iterations/
+    deltas/converged). With ``checkpoint_dir``, every superstep commits a
+    resumable parquet snapshot + manifest; ``resume=True`` continues from
+    the last complete step. Without it, ``localCheckpoint`` truncates
+    lineage each step (not resumable, faster for benches)."""
+    sc = spark.sparkContext
+    n_parts = n_partitions or spark.conf.get("spark.sql.shuffle.partitions")
+    verts, deg, contrib_edges = _prepare(edges, vertices)
+    contrib_edges = contrib_edges.repartition(int(n_parts), "src").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    dangling = deg.filter("out_deg = 0").select("v").persist(StorageLevel.MEMORY_AND_DISK)
+    n = verts.count()
+    if n == 0:
+        empty = spark.createDataFrame([], "v long, rank double")
+        return empty, {"iterations": 0, "converged": True, "deltas": [], "n": 0}
+
+    ckpt = None
+    start_step = 0
+    deltas: list[float] = []
+    if checkpoint_dir:
+        ckpt = CheckpointManager(
+            spark, checkpoint_dir, {"algo": "pagerank_power", "eps": eps, "tol": tol}
+        )
+        if resume:
+            last = ckpt.last_complete_step()
+            if last is not None:
+                ranks = ckpt.load_tables(last, ["state"])["state"].select("v", "rank")
+                man = ckpt.manifest(last) or {}
+                deltas = list(man.get("metrics", {}).get("deltas", []))
+                start_step = last + 1
+                if man.get("metrics", {}).get("converged"):
+                    return ranks, {
+                        "iterations": last + 1, "converged": True,
+                        "deltas": deltas, "n": n, "resumed_at": last + 1,
+                    }
+        else:
+            ckpt.clear()
+    if start_step == 0:
+        ranks = verts.select("v", (F.lit(1.0) / n).alias("rank"))
+        ranks = ranks.localCheckpoint(eager=True)
+
+    converged = False
+    it = start_step
+    for it in range(start_step, max_iters):
+        # dangling mass: one tiny scalar job over the rank vector
+        m = (
+            ranks.join(F.broadcast(dangling), "v")
+            .agg(F.sum("rank").alias("m"))
+            .collect()[0]["m"]
+            or 0.0
+        )
+        contribs = (
+            contrib_edges.join(ranks.withColumnRenamed("v", "src"), "src")
+            .select(
+                F.col("dst").alias("v"),
+                (F.col("rank") * F.col("inv_deg")).alias("mass"),
+            )
+            .groupBy("v")
+            .agg(F.sum("mass").alias("mass"))  # partial+final hash agg
+        )
+        base = eps / n + (1.0 - eps) * m / n
+        new_ranks = (
+            verts.join(contribs, "v", "left")
+            .select(
+                "v",
+                (
+                    F.lit(base)
+                    + F.lit(1.0 - eps) * F.coalesce(F.col("mass"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        # one pass computes delta AND the next rank vector
+        joined = (
+            new_ranks.withColumnRenamed("rank", "new_rank")
+            .join(ranks.withColumnRenamed("rank", "old_rank"), "v")
+            .select("v", F.col("new_rank").alias("rank"),
+                    F.abs(F.col("new_rank") - F.col("old_rank")).alias("dv"))
+        )
+        if ckpt:
+            # parquet write = the step's ONE heavy job; manifest commits after
+            staged = ckpt.save_step(
+                it, {"state": joined},
+                {"deltas": deltas, "dangling_mass": m, "converged": False},
+            )["state"]
+        else:
+            staged = joined.localCheckpoint(eager=True)
+        delta = staged.agg(F.max("dv").alias("d")).collect()[0]["d"]
+        deltas.append(float(delta))
+        ranks = staged.select("v", "rank")
+        if ckpt:
+            # re-commit manifest with the convergence metric (cheap, no data)
+            ckpt.update_metrics(
+                it,
+                {"deltas": deltas, "dangling_mass": m,
+                 "converged": bool(delta < tol)},
+            )
+        if delta < tol:
+            converged = True
+            break
+
+    contrib_edges.unpersist()
+    dangling.unpersist()
+    info = {"iterations": it + 1, "converged": converged, "deltas": deltas, "n": n}
+    return ranks, info
+
+
+def top_k(ranks: DataFrame, k: int = 20) -> DataFrame:
+    """Best-first ranks (reference sorts the full output to one partition,
+    MonteCarloPageRank.scala:132; we take top-k, which Spark plans as a
+    TakeOrderedAndProject — no global sort materialization)."""
+    return ranks.orderBy(F.desc("rank"), F.asc("v")).limit(k)

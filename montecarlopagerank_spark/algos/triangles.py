@@ -1,0 +1,88 @@
+"""Triangle counting via degree-ordered edge orientation (node-iterator++).
+
+North-rule algorithm with no reference implementation (SURVEY.md §2.7).
+Counts triangles in the undirected closure of the edge set.
+
+Skew story (the reason for degree ordering): orient every undirected edge
+from the endpoint with smaller (degree, vid) to the larger. Every vertex's
+*oriented* out-degree is then O(sqrt(m)) even for mega-hubs, so the wedge
+self-join ``o ⋈ o on wedge apex`` cannot blow up on hub vertices — the
+classic MapReduce triangle trick (Suri & Vassilvitskii, WWW 2011). A
+naive self-join on the raw adjacency would square a hub's degree.
+
+Wholly DataFrame: distinct undirected edges → degree table (broadcast
+when small; shuffle-join otherwise) → orientation → one self-join to form
+wedges → one semi-join against the oriented edge set to close them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def undirected_edges(edges: DataFrame) -> DataFrame:
+    """Canonical undirected, de-duplicated, loop-free edge set (x < y)."""
+    return (
+        edges.filter("src != dst")
+        .select(F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("y"))
+        .distinct()
+    )
+
+
+def _oriented(edges: DataFrame) -> DataFrame:
+    """Orient each undirected edge by (degree, vid) ascending → (lo, hi)."""
+    und = undirected_edges(edges)
+    deg = (
+        und.select(F.col("x").alias("v"))
+        .unionByName(und.select(F.col("y").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    dx = deg.select(F.col("v").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("v").alias("y"), F.col("d").alias("dy"))
+    j = und.join(dx, "x").join(dy, "y")
+    lo_first = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+    )
+    return j.select(
+        F.when(lo_first, F.col("x")).otherwise(F.col("y")).alias("lo"),
+        F.when(lo_first, F.col("y")).otherwise(F.col("x")).alias("hi"),
+    )
+
+
+def triangle_count(spark: SparkSession, edges: DataFrame) -> int:
+    """Total triangle count (undirected closure)."""
+    o = _oriented(edges).persist()
+    a = o.select(F.col("lo").alias("apex"), F.col("hi").alias("b"))
+    b = o.select(F.col("lo").alias("apex"), F.col("hi").alias("c"))
+    wedges = a.join(b, "apex").filter(F.col("b") < F.col("c"))
+    # close the wedge: (b, c) must be an oriented edge; orientation of (b,c)
+    # is unknown, so check both directions via a semi-join on the union
+    closing = o.select(F.col("lo").alias("b"), F.col("hi").alias("c")).unionByName(
+        o.select(F.col("hi").alias("b"), F.col("lo").alias("c"))
+    )
+    n = wedges.join(closing, ["b", "c"], "left_semi").count()
+    o.unpersist()
+    return n
+
+
+def triangles_per_vertex(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """``(v:long, triangles:long)`` — per-vertex triangle participation."""
+    o = _oriented(edges).persist()
+    a = o.select(F.col("lo").alias("apex"), F.col("hi").alias("b"))
+    b2 = o.select(F.col("lo").alias("apex"), F.col("hi").alias("c"))
+    wedges = a.join(b2, "apex").filter(F.col("b") < F.col("c"))
+    closing = o.select(F.col("lo").alias("b"), F.col("hi").alias("c")).unionByName(
+        o.select(F.col("hi").alias("b"), F.col("lo").alias("c"))
+    )
+    tri = wedges.join(closing, ["b", "c"], "left_semi")
+    per_v = (
+        tri.select(F.col("apex").alias("v"))
+        .unionByName(tri.select(F.col("b").alias("v")))
+        .unionByName(tri.select(F.col("c").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("triangles"))
+    )
+    o.unpersist()
+    return per_v

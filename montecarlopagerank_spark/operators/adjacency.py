@@ -1,0 +1,139 @@
+"""Adjacency structures: relational adjacency + CSR-blocked partitions.
+
+Two forms (SURVEY.md §1.4):
+
+* relational ``adj(src:long, neighbours:array<long>, deg:int)`` via
+  ``groupBy(src).agg(sort_array(collect_list(dst)))`` — partial-aggregable,
+  unlike the reference's ``groupByKey``
+  (ConvertNodeLinksToAdjacencyList.scala:40);
+
+* **CSR blocks** for the Arrow walk kernels:
+  ``blocks(block_id:int, vids:array<long>, indptr:array<long>,
+  indices:array<long>)`` — one row per vertex-range block, holding a
+  compressed-sparse-row slice of the graph. Block boundaries are
+  **degree-aware**: vids are packed so each block carries ≈ equal *edge*
+  count (not vertex count), so a hub-dense vid range is split into many
+  small blocks while sparse ranges coalesce — this is the "degree-aware
+  block splits" skew handling from BASELINE.json's north_star.
+
+Assigning blocks by cumulative degree needs a prefix sum over vid order;
+a single global window would serialize on one task at 10^12 scale, so we
+use the same two-level trick as the vertex dictionary: coarse vid ranges →
+per-range sums → broadcast offsets → within-range window.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+CSR_BLOCK_SCHEMA = (
+    "block_id int, vids array<long>, indptr array<long>, indices array<long>"
+)
+
+
+def build_adjacency(edges: DataFrame, vertices: DataFrame | None = None) -> DataFrame:
+    """``edges(src,dst)`` → ``adj(src, neighbours sorted, deg)``; when
+    ``vertices`` is given, dangling vertices get empty arrays (the
+    reference's ``new Array[Int](0)``, MonteCarloPageRank.scala:34-35) so
+    the vertex set is closed (SURVEY.md J2 semantics note)."""
+    adj = edges.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("neighbours")
+    )
+    if vertices is not None:
+        adj = (
+            vertices.select(F.col("vid").alias("src"))
+            .join(adj, "src", "left")
+            .withColumn(
+                "neighbours",
+                F.coalesce("neighbours", F.array().cast("array<long>")),
+            )
+        )
+    return adj.withColumn("deg", F.size("neighbours"))
+
+
+def _prefix_offsets(per_key: DataFrame, key: str, val: str, coarse: int) -> DataFrame:
+    """Deterministic scalable prefix sum of ``val`` in ``key`` order.
+
+    Returns per-key ``prefix`` (sum of val for all keys strictly before).
+    Two-level: coarse range = key // coarse; per-range totals (small) get a
+    driver-size window, then a within-range window finishes the job.
+    """
+    ranged = per_key.withColumn("rng", (F.col(key) / coarse).cast("long"))
+    range_tot = ranged.groupBy("rng").agg(F.sum(val).alias("tot"))
+    range_off = range_tot.withColumn(
+        "rng_off",
+        F.coalesce(
+            F.sum("tot").over(
+                Window.orderBy("rng").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("rng", "rng_off")
+    w_in = (
+        Window.partitionBy("rng").orderBy(key).rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ranged.join(F.broadcast(range_off), "rng")
+        .withColumn("prefix", F.col("rng_off") + F.coalesce(F.sum(val).over(w_in), F.lit(0)))
+        .drop("rng", "rng_off")
+    )
+
+
+def assign_blocks(
+    degrees_df: DataFrame, edges_per_block: int = 1 << 20, coarse: int = 1 << 16
+) -> DataFrame:
+    """``deg(v, out_deg)`` → ``(v, block_id)`` by cumulative out-degree:
+    block_id = floor(prefix_edges / edges_per_block). Each vertex also
+    counts 1 so empty-degree runs still split. Deterministic in vid order."""
+    weighted = degrees_df.select(
+        F.col("v"), (F.col("out_deg") + F.lit(1)).alias("w")
+    )
+    pre = _prefix_offsets(weighted, "v", "w", coarse)
+    return pre.select(
+        "v", (F.col("prefix") / F.lit(edges_per_block)).cast("int").alias("block_id")
+    )
+
+
+def build_csr_blocks(
+    adj: DataFrame, block_assign: DataFrame, n_shuffle: int | None = None
+) -> DataFrame:
+    """Adjacency + block assignment → CSR block rows (one per block).
+
+    ``applyInPandas`` per block packs (vids sorted, indptr, indices) into
+    numpy-backed arrays; downstream kernels slice with zero copies. The
+    result should be ``.persist()``-ed by callers — it is the loop-invariant
+    structure the reference cached (MonteCarloPageRank.scala:98).
+    """
+    joined = adj.join(block_assign, adj.src == block_assign.v).select(
+        "block_id", "src", "neighbours"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("src")
+        vids = pdf["src"].to_numpy(dtype=np.int64)
+        lens = pdf["neighbours"].map(len).to_numpy(dtype=np.int64)
+        indptr = np.concatenate(([0], np.cumsum(lens)))
+        if len(pdf) and indptr[-1] > 0:
+            indices = np.concatenate(
+                [np.asarray(x, dtype=np.int64) for x in pdf["neighbours"]]
+            )
+        else:
+            indices = np.array([], dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "block_id": [int(pdf["block_id"].iloc[0])],
+                "vids": [vids],
+                "indptr": [indptr],
+                "indices": [indices],
+            }
+        )
+
+    out = joined.groupBy("block_id").applyInPandas(pack, schema=CSR_BLOCK_SCHEMA)
+    if n_shuffle:
+        out = out.repartition(n_shuffle, "block_id")
+    return out
