@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from montecarlopagerank_spark.operators.state import StateStore
+
 
 def _pairs(edges: DataFrame, a: str = "src", b: str = "dst") -> DataFrame:
     """Canonical undirected loop-free pair set (x < y), deduplicated."""
@@ -73,9 +75,10 @@ def connected_components(
     """``edges(src, dst)`` → ``components(v:long, component:long)`` where
     component = min vid of the vertex's undirected component. Isolated
     vertices from ``vertices`` get component = own vid."""
-    p = _pairs(edges).localCheckpoint(eager=True)
+    store = StateStore(spark)  # flat per-round materializer (state.py)
+    p = store.materialize(_pairs(edges), "pairs")
     for _ in range(max_iters):
-        p2 = _small_star(_large_star(p)).localCheckpoint(eager=True)
+        p2 = store.materialize(_small_star(_large_star(p)), "pairs")
         changed = not (p.exceptAll(p2).isEmpty() and p2.exceptAll(p).isEmpty())
         p = p2
         if not changed:

@@ -18,6 +18,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from montecarlopagerank_spark.operators.state import StateStore
 
 
 def label_propagation(
@@ -32,14 +35,17 @@ def label_propagation(
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .filter("u != v")
         .distinct()
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)  # loop-invariant
     )
     verts = (
         vertices.select(F.col("vid").alias("v"))
         if vertices is not None
         else sym.select("u").withColumnRenamed("u", "v").distinct()
     )
-    labels = verts.select("v", F.col("v").alias("label")).localCheckpoint(eager=True)
+    store = StateStore(spark)  # flat per-superstep materializer (state.py)
+    labels = store.materialize(
+        verts.select("v", F.col("v").alias("label")), "labels"
+    )
 
     w = Window.partitionBy("v").orderBy(F.desc("cnt"), F.asc("label"))
     for _ in range(max_iters):
@@ -60,9 +66,11 @@ def label_propagation(
                 F.coalesce("new_label", "label").alias("label"),
                 (F.coalesce("new_label", "label") != F.col("label")).alias("changed"),
             )
-        ).localCheckpoint(eager=True)
+        )
+        updated = store.materialize(updated, "labels")
         n_changed = updated.filter("changed").count()
         labels = updated.select("v", "label")
         if n_changed == 0:
             break
+    sym.unpersist()
     return labels

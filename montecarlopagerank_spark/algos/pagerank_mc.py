@@ -50,6 +50,7 @@ from montecarlopagerank_spark.operators.adjacency import (
 )
 from montecarlopagerank_spark.operators.checkpoint import CheckpointManager
 from montecarlopagerank_spark.operators.edges import degrees as degrees_of
+from montecarlopagerank_spark.operators.state import StateStore
 
 EPS = 0.15
 
@@ -116,6 +117,7 @@ def pagerank_monte_carlo(
     csr.count()  # materialize the loop-invariant structure once
 
     ckpt = None
+    store = StateStore(spark)  # flat per-superstep materializer (state.py)
     start_step = 0
     if checkpoint_dir:
         ckpt = CheckpointManager(
@@ -132,14 +134,14 @@ def pagerank_monte_carlo(
             ckpt.clear()
     if start_step == 0:
         init = deg.select("v", F.lit(int(K)).cast("long").alias("c"))
-        coupons = init.localCheckpoint(eager=True)
-        visits = init.select("v", F.col("c").alias("z"))  # ζ starts at K (:106)
+        visits_init = init.select("v", F.col("c").alias("z"))  # ζ starts at K (:106)
         if ckpt:
-            t = ckpt.save_step(-1, {"coupons": coupons, "visits": visits},
+            t = ckpt.save_step(-1, {"coupons": init, "visits": visits_init},
                                {"init": True})
             coupons, visits = t["coupons"], t["visits"]
         else:
-            visits = visits.localCheckpoint(eager=True)
+            coupons = store.materialize(init, "coupons")
+            visits = store.materialize(visits_init, "visits")
 
     steps_run = start_step
     for step in range(start_step, iterations):
@@ -165,14 +167,19 @@ def pagerank_monte_carlo(
             )
             coupons, visits = t["coupons"], t["visits"]
         else:
-            coupons = new_coupons.localCheckpoint(eager=True)
-            visits = new_visits.localCheckpoint(eager=True)
+            coupons = store.materialize(new_coupons, "coupons")
+            visits = store.materialize(new_visits, "visits")
         steps_run = step + 1
         if coupons.isEmpty():  # extinction — nothing left to walk
             break
 
     total = visits.agg(F.sum("z")).collect()[0][0]
     ranks = visits.select("v", (F.col("z") / F.lit(float(total))).alias("rank"))
+    if ckpt:
+        store.close()
+    else:
+        ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+        ranks.count()  # pin before callers drop the scratch reference
     blocks_assign.unpersist()
     csr.unpersist()
     info = {

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from montecarlopagerank_spark.operators.checkpoint import CheckpointManager
+from montecarlopagerank_spark.operators.state import StateStore
 
 EPS = 0.15  # jump probability, MonteCarloPageRank.scala:28
 
@@ -76,21 +77,29 @@ def pagerank_power(
     resumable parquet snapshot + manifest; ``resume=True`` continues from
     the last complete step. Without it, ``localCheckpoint`` truncates
     lineage each step (not resumable, faster for benches)."""
-    sc = spark.sparkContext
     n_parts = n_partitions or spark.conf.get("spark.sql.shuffle.partitions")
     verts, deg, contrib_edges = _prepare(edges, vertices)
     contrib_edges = contrib_edges.repartition(int(n_parts), "src").persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    dangling = deg.filter("out_deg = 0").select("v").persist(StorageLevel.MEMORY_AND_DISK)
-    n = verts.count()
+    # vertex table with a dangling flag: lets each superstep's single
+    # aggregate produce BOTH the convergence delta and the next step's
+    # dangling mass (no separate per-step lookup job — the reference pays
+    # a full lookup(-1) action per superstep, PowerIterationPageRank.scala:111)
+    vflag = deg.select("v", (F.col("out_deg") == 0).alias("dang")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n = vflag.count()
     if n == 0:
         empty = spark.createDataFrame([], "v long, rank double")
         return empty, {"iterations": 0, "converged": True, "deltas": [], "n": 0}
+    n_dangling = vflag.filter("dang").count()
 
     ckpt = None
+    store = StateStore(spark)  # scratch superstep materializer (state.py)
     start_step = 0
     deltas: list[float] = []
+    m = None  # dangling mass of the *current* rank vector
     if checkpoint_dir:
         ckpt = CheckpointManager(
             spark, checkpoint_dir, {"algo": "pagerank_power", "eps": eps, "tol": tol}
@@ -101,6 +110,7 @@ def pagerank_power(
                 ranks = ckpt.load_tables(last, ["state"])["state"].select("v", "rank")
                 man = ckpt.manifest(last) or {}
                 deltas = list(man.get("metrics", {}).get("deltas", []))
+                m = man.get("metrics", {}).get("next_dangling_mass")
                 start_step = last + 1
                 if man.get("metrics", {}).get("converged"):
                     return ranks, {
@@ -110,19 +120,19 @@ def pagerank_power(
         else:
             ckpt.clear()
     if start_step == 0:
-        ranks = verts.select("v", (F.lit(1.0) / n).alias("rank"))
-        ranks = ranks.localCheckpoint(eager=True)
+        ranks = store.materialize(
+            verts.select("v", (F.lit(1.0) / n).alias("rank"))
+        )
+        m = n_dangling / n  # uniform init → closed-form dangling mass
+    if m is None:  # resumed from a pre-upgrade manifest: one recovery job
+        m = (
+            ranks.join(vflag.filter("dang"), "v")
+            .agg(F.sum("rank").alias("m")).collect()[0]["m"] or 0.0
+        )
 
     converged = False
     it = start_step
     for it in range(start_step, max_iters):
-        # dangling mass: one tiny scalar job over the rank vector
-        m = (
-            ranks.join(F.broadcast(dangling), "v")
-            .agg(F.sum("rank").alias("m"))
-            .collect()[0]["m"]
-            or 0.0
-        )
         contribs = (
             contrib_edges.join(ranks.withColumnRenamed("v", "src"), "src")
             .select(
@@ -134,21 +144,20 @@ def pagerank_power(
         )
         base = eps / n + (1.0 - eps) * m / n
         new_ranks = (
-            verts.join(contribs, "v", "left")
+            vflag.join(contribs, "v", "left")
             .select(
-                "v",
+                "v", "dang",
                 (
                     F.lit(base)
                     + F.lit(1.0 - eps) * F.coalesce(F.col("mass"), F.lit(0.0))
                 ).alias("rank"),
             )
         )
-        # one pass computes delta AND the next rank vector
         joined = (
-            new_ranks.withColumnRenamed("rank", "new_rank")
+            new_ranks
             .join(ranks.withColumnRenamed("rank", "old_rank"), "v")
-            .select("v", F.col("new_rank").alias("rank"),
-                    F.abs(F.col("new_rank") - F.col("old_rank")).alias("dv"))
+            .select("v", "rank", "dang",
+                    F.abs(F.col("rank") - F.col("old_rank")).alias("dv"))
         )
         if ckpt:
             # parquet write = the step's ONE heavy job; manifest commits after
@@ -157,15 +166,22 @@ def pagerank_power(
                 {"deltas": deltas, "dangling_mass": m, "converged": False},
             )["state"]
         else:
-            staged = joined.localCheckpoint(eager=True)
-        delta = staged.agg(F.max("dv").alias("d")).collect()[0]["d"]
+            staged = store.materialize(joined)
+        # ONE tiny aggregate returns the convergence delta AND the next
+        # step's dangling mass (SURVEY.md §3.4: one scalar action per step)
+        row = staged.agg(
+            F.max("dv").alias("d"),
+            F.sum(F.when(F.col("dang"), F.col("rank"))).alias("m"),
+        ).collect()[0]
+        delta = row["d"]
+        m = row["m"] or 0.0
         deltas.append(float(delta))
         ranks = staged.select("v", "rank")
         if ckpt:
             # re-commit manifest with the convergence metric (cheap, no data)
             ckpt.update_metrics(
                 it,
-                {"deltas": deltas, "dangling_mass": m,
+                {"deltas": deltas, "next_dangling_mass": m,
                  "converged": bool(delta < tol)},
             )
         if delta < tol:
@@ -173,7 +189,14 @@ def pagerank_power(
             break
 
     contrib_edges.unpersist()
-    dangling.unpersist()
+    vflag.unpersist()
+    if ckpt and it >= start_step and max_iters > start_step:
+        store.close()  # final ranks read from the durable checkpoint dir
+    else:
+        # final ranks still scan the scratch slot: pin them and leave the
+        # scratch files in place as the recompute source
+        ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+        ranks.count()
     info = {"iterations": it + 1, "converged": converged, "deltas": deltas, "n": n}
     return ranks, info
 

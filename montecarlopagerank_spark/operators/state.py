@@ -1,0 +1,49 @@
+"""Ping-pong parquet state materializer for iterative algorithms.
+
+Every iterative algo here (PI/MC PageRank, connected components, LPA)
+rebinds a small state DataFrame per superstep. Doing that with
+``localCheckpoint`` looks cheap but degrades catastrophically in
+long-running drivers (measured: flat ~0.5 s/step until ~17 steps, then
+2× per step — block-manager/cleaner pathology, independent of AQE and of
+reliable ``checkpoint()``; see git history). A parquet round-trip is flat
+(measured 120 supersteps at ~0.9 s/step, local[4]) and is also the honest
+100 TB design: Pregel-style per-superstep state materialization to DFS,
+which is what makes mid-iteration resume possible at all.
+
+Two alternating slots per state name: step i writes slot ``i % 2`` while
+the live reader (step i−1's output) points at the other slot, so an
+overwrite never clobbers a directory an active plan still scans.
+
+``CheckpointManager`` (checkpoint.py) is the *durable* variant of this —
+same write-then-reread shape plus a commit manifest. StateStore is the
+scratch variant for runs that don't need resumability.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class StateStore:
+    def __init__(self, spark: SparkSession, root: str | None = None):
+        self.spark = spark
+        self._own = root is None
+        self.root = root or tempfile.mkdtemp(prefix="mcpr_state_")
+        self._seq: dict[str, int] = {}
+
+    def materialize(self, df: DataFrame, name: str = "state") -> DataFrame:
+        """Write ``df`` to the name's next slot and return the re-read
+        DataFrame (lineage truncated, plan = fresh parquet scan)."""
+        seq = self._seq.get(name, 0)
+        path = os.path.join(self.root, f"{name}_{seq % 2}")
+        df.write.mode("overwrite").parquet(path)
+        self._seq[name] = seq + 1
+        return self.spark.read.parquet(path)
+
+    def close(self) -> None:
+        if self._own:
+            shutil.rmtree(self.root, ignore_errors=True)

@@ -1,0 +1,232 @@
+"""Deduplication operators over ``documents(doc_id, text, ...)``.
+
+Four families, each picked for a different scale/recall point:
+
+* **exact** — hash-groupBy on normalized text. One shuffle on a short hash
+  key; at 100 TB this is the cheapest pass and always runs first.
+* **MinHash + LSH** — shingle → K minhashes → B bands → bucket join.
+  Entirely ``pyspark.sql.functions`` (higher-order array functions), no
+  Python: the signature build is one explode + one groupBy with K min()
+  aggregates (partial-aggregable, skew-free because doc_id is unique);
+  banding turns the O(n²) pair problem into per-bucket joins. Candidates
+  are verified with exact shingle Jaccard before being called duplicates.
+* **SimHash** — 64-bit signature assembled from per-token xxhash64 bit
+  votes (64 conditional sums — wide but codegen'd); near-dupes = equal
+  band keys then Hamming ≤ threshold via bit_count(a XOR b).
+* **embedding near-dup** — see ``similarity.embedding_near_dupes``.
+
+Scale notes: every candidate generator keys its final join on a *bucket*
+value whose fan-in is bounded by design (band width r controls bucket
+size distribution); the verify joins carry only (doc_id, shingle-array)
+projections. Nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from montecarlopagerank_spark.pipeline.textstats import normalized_text
+
+
+# ---------------------------------------------------------------- exact
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Groups of byte-identical (after normalization) documents:
+    ``(keep_id, n_copies, dup_ids)``. keep = min doc_id (deterministic)."""
+    key = F.md5(normalized_text(F.col("text")).cast("binary"))
+    return (
+        docs.select(F.col("doc_id"), key.alias("k"))
+        .groupBy("k")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("n_copies"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .select("keep_id", "n_copies", "doc_ids")
+    )
+
+
+# ------------------------------------------------------------- minhash
+def _shingles(text: Column, n: int) -> Column:
+    """Distinct word n-gram shingles of the normalized text."""
+    toks = F.split(normalized_text(text), " ")
+    k = F.size(toks) - (n - 1)
+    return F.array_distinct(
+        F.when(
+            k > 0,
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+def shingle_sets(docs: DataFrame, shingle_n: int = 3) -> DataFrame:
+    return docs.select(
+        "doc_id", _shingles(F.col("text"), shingle_n).alias("shingles")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 64, shingle_n: int = 3
+) -> DataFrame:
+    """``(doc_id, sig array<long>[num_hashes])``. Permutation i is
+    xxhash64(shingle, i) — independent-ish hash family, all JVM-side.
+    Shape: explode shingles (narrow) → K min() aggregates keyed by doc_id
+    (one shuffle, partial agg does most work map-side)."""
+    exploded = shingle_sets(docs, shingle_n).select(
+        "doc_id", F.explode("shingles").alias("sh")
+    )
+    hashed = exploded.select(
+        "doc_id",
+        *[F.xxhash64("sh", F.lit(i)).alias(f"h{i}") for i in range(num_hashes)],
+    )
+    agg = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
+    )
+    return agg.select(
+        "doc_id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs (a < b) sharing ≥1
+    band bucket. Self-join per (band, bucket-hash); bucket key is a hash of
+    the band slice so the shuffle key is a fixed-width long."""
+    banded = signatures.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band)),
+            )
+        ).alias("band", "bucket"),
+    )
+    left = banded.select(
+        F.col("band"), F.col("bucket"), F.col("doc_id").alias("a")
+    )
+    right = banded.select(
+        F.col("band"), F.col("bucket"), F.col("doc_id").alias("b")
+    )
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """End-to-end near-dup pairs ``(a, b, jaccard)``: LSH candidates
+    verified with exact shingle Jaccard (array_intersect/array_union on the
+    distinct shingle sets)."""
+    sigs = minhash_signatures(docs, num_hashes, shingle_n)
+    cands = minhash_lsh_candidates(sigs, bands, rows_per_band)
+    sh = shingle_sets(docs, shingle_n)
+    a_sh = sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a"))
+    b_sh = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cands.join(a_sh, "a")
+        .join(b_sh, "b")
+        .select("a", "b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+def ngram_jaccard(
+    docs: DataFrame, pairs: DataFrame, shingle_n: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard for given ``(a, b)`` pairs."""
+    sh = shingle_sets(docs, shingle_n)
+    a_sh = sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a"))
+    b_sh = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return pairs.join(a_sh, "a").join(b_sh, "b").select(
+        "a", "b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+# ------------------------------------------------------------- simhash
+def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
+    """``(doc_id, simhash long)`` — per-token xxhash64, each of the 64 bit
+    positions votes +1/−1, signature bit = sign of the vote sum. The 64
+    conditional sums are one wide codegen'd aggregate; the bit assembly
+    sums non-overlapping powers of two (bit 63 lands on the long sign bit —
+    Java wrap semantics give the right bit pattern)."""
+    toks = F.split(normalized_text(F.col("text")), " ")
+    exploded = docs.select("doc_id", F.explode(toks).alias("tok")).select(
+        "doc_id", F.xxhash64("tok").alias("th")
+    )
+    votes = exploded.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftrightunsigned("th", i).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    sig = None
+    for i in range(bits):
+        term = F.when(
+            F.col(f"b{i}") >= 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return votes.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_dupes(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = 64,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on ``bands`` 16-bit chunks (a pair
+    within Hamming ≤ bands−1 must agree on ≥1 chunk — pigeonhole), then
+    verify ``bit_count(a XOR b) ≤ max_hamming``."""
+    sigs = simhash(docs, bits)
+    chunk = bits // bands
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned("simhash", b * chunk).bitwiseAND(
+                F.lit((1 << chunk) - 1)
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(chunks).alias("band", "chunk_val"),
+    )
+    left = banded.select("band", "chunk_val", F.col("doc_id").alias("a"),
+                         F.col("simhash").alias("sig_a"))
+    right = banded.select("band", "chunk_val", F.col("doc_id").alias("b"),
+                          F.col("simhash").alias("sig_b"))
+    return (
+        left.join(right, ["band", "chunk_val"])
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -27,11 +27,13 @@ def read_adjacency_text(spark: SparkSession, path: str) -> DataFrame:
     toks = F.split(F.trim(F.col("value")), r"\s+")
     return (
         lines.filter(F.length(F.trim(F.col("value"))) > 0)
+        .select(toks.alias("toks"))
         .select(
-            F.element_at(toks, 1).cast("long").alias("src"),
-            F.expr(
-                "transform(slice(split(trim(value), '\\\\s+'), 2, 2147483647),"
-                " x -> cast(x as long))"
+            F.element_at("toks", 1).cast("long").alias("src"),
+            # slice length must not overflow start+length (int): use size
+            F.transform(
+                F.slice("toks", 2, F.greatest(F.size("toks") - 1, F.lit(0))),
+                lambda x: x.cast("long"),
             ).alias("neighbours"),
         )
     )
@@ -49,13 +51,14 @@ def write_adjacency_text(adj: DataFrame, path: str) -> None:
     ordering is not part of the format contract, FIXTURES.md F3)."""
     (
         adj.select(
-            F.concat_ws(
-                "\t",
-                F.col("src").cast("string"),
-                F.concat_ws(
-                    "\t",
-                    F.expr("transform(sort_array(neighbours), x -> cast(x as string))"),
+            F.array_join(
+                F.concat(
+                    F.array(F.col("src").cast("string")),
+                    F.transform(
+                        F.sort_array("neighbours"), lambda x: x.cast("string")
+                    ),
                 ),
+                "\t",
             ).alias("value")
         ).write.mode("overwrite").text(path)
     )

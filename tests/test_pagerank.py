@@ -1,0 +1,142 @@
+"""PageRank golden-graph + oracle tests (SURVEY.md §5.2 items 2-4).
+
+PI is exact math → allclose 1e-6 against the pure-python oracle.
+MC is a stochastic estimator → statistical tolerance, documented per test
+(stderr of zeta_v/Sigma-zeta shrinks with K; K chosen so 3 sigma < tol).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from montecarlopagerank_spark.algos.pagerank_mc import pagerank_monte_carlo
+from montecarlopagerank_spark.algos.pagerank_power import pagerank_power, top_k
+from tests.oracle import pagerank_oracle
+
+
+def ranks_dict(df):
+    return {r["v"]: r["rank"] for r in df.collect()}
+
+
+def test_pi_cycle5_uniform(spark, cycle5):
+    ranks, info = pagerank_power(spark, cycle5, tol=1e-9, max_iters=50)
+    got = ranks_dict(ranks)
+    assert info["converged"]
+    # cycle is rank-regular: uniform 1/5 for any eps, converges in 1 step
+    assert info["iterations"] == 1
+    for v in range(5):
+        assert got[v] == pytest.approx(0.2, abs=1e-9)
+
+
+def test_pi_star5_closed_form(spark, star5):
+    """Hub 0 dangling, spokes 1..4 -> 0. Closed form (eps=.15):
+    p = eps/5 + (1-eps)h/5 ; h = eps/5 + (1-eps)(4p + h/5)
+    => h = 11/21, p = 5/42."""
+    ranks, info = pagerank_power(spark, star5, tol=1e-12, max_iters=300)
+    got = ranks_dict(ranks)
+    assert got[0] == pytest.approx(11 / 21, abs=1e-9)
+    for v in range(1, 5):
+        assert got[v] == pytest.approx(5 / 42, abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pi_vs_oracle_gnutella_mini(spark, gnutella_mini, gnutella_mini_pairs):
+    """allclose 1e-6 at convergence vs independent pure-python PI
+    (BASELINE.json north_rule's match criterion, operationalized per
+    SURVEY.md §2.6 note 1)."""
+    ranks, info = pagerank_power(spark, gnutella_mini, tol=1e-9, max_iters=200)
+    assert info["converged"]
+    oracle = pagerank_oracle(gnutella_mini_pairs, tol=1e-12)
+    got = ranks_dict(ranks)
+    assert set(got) == set(oracle)
+    for v, r in oracle.items():
+        assert got[v] == pytest.approx(r, abs=1e-6), f"vertex {v}"
+
+
+def test_pi_mass_conservation(spark, gnutella_mini):
+    ranks, _ = pagerank_power(spark, gnutella_mini, tol=1e-6, max_iters=100)
+    total = ranks.agg(F.sum("rank")).collect()[0][0]
+    assert total == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pi_empty_graph(spark):
+    empty = spark.createDataFrame([], "src long, dst long")
+    ranks, info = pagerank_power(spark, empty)
+    assert ranks.count() == 0 and info["converged"]
+
+
+def test_top_k(spark, star5):
+    ranks, _ = pagerank_power(spark, star5, tol=1e-9, max_iters=200)
+    rows = top_k(ranks, 2).collect()
+    assert rows[0]["v"] == 0  # the hub
+    assert rows[0]["rank"] > rows[1]["rank"]
+
+
+def test_mc_cycle5_statistical(spark, cycle5):
+    """Uniform truth 0.2. K=500, 20 supersteps: per-vertex visit share has
+    stderr ~ sqrt(p(1-p)/total) ~ 0.002 at total ~ 16k visits; tolerance
+    0.02 = ~10 sigma."""
+    ranks, info = pagerank_monte_carlo(
+        spark, cycle5, walks_per_vertex=500, iterations=20
+    )
+    got = ranks_dict(ranks)
+    for v in range(5):
+        assert got[v] == pytest.approx(0.2, abs=0.02)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+
+
+def test_mc_agrees_with_pi(spark, gnutella_mini, gnutella_mini_pairs):
+    """Cross-implementation convergence, the reference's own methodology
+    (Project Paper/McPageRankSpark.tex:155-159): MC vs PI rank correlation
+    + top-10 overlap."""
+    pi_ranks, _ = pagerank_power(spark, gnutella_mini, tol=1e-9, max_iters=200)
+    mc_ranks, _ = pagerank_monte_carlo(
+        spark, gnutella_mini, walks_per_vertex=100, iterations=15
+    )
+    pi_d, mc_d = ranks_dict(pi_ranks), ranks_dict(mc_ranks)
+    assert set(pi_d) == set(mc_d)
+    vs = sorted(pi_d)
+    n = len(vs)
+    mp = sum(pi_d[v] for v in vs) / n
+    mm = sum(mc_d[v] for v in vs) / n
+    cov = sum((pi_d[v] - mp) * (mc_d[v] - mm) for v in vs)
+    sp = math.sqrt(sum((pi_d[v] - mp) ** 2 for v in vs))
+    sm = math.sqrt(sum((mc_d[v] - mm) ** 2 for v in vs))
+    corr = cov / (sp * sm)
+    assert corr > 0.97, f"rank correlation {corr}"
+    top_pi = set(sorted(pi_d, key=pi_d.get, reverse=True)[:10])
+    top_mc = set(sorted(mc_d, key=mc_d.get, reverse=True)[:10])
+    assert len(top_pi & top_mc) >= 7
+
+
+def test_mc_deterministic_same_seed(spark, gnutella_mini):
+    r1, _ = pagerank_monte_carlo(spark, gnutella_mini, walks_per_vertex=20,
+                                 iterations=5, seed=7)
+    r2, _ = pagerank_monte_carlo(spark, gnutella_mini, walks_per_vertex=20,
+                                 iterations=5, seed=7)
+    assert ranks_dict(r1) == ranks_dict(r2)
+
+
+def test_mc_parallelism_invariance(spark, gnutella_mini):
+    """Block-seeded RNG => identical output at different shuffle/physical
+    parallelism (SURVEY.md §7.3; underpins the N-vs-4N scaling evidence).
+    The reference is seeded per physical partition and fails this
+    (MonteCarloPageRank.scala:50-52)."""
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        r1, _ = pagerank_monte_carlo(
+            spark, gnutella_mini.repartition(2), walks_per_vertex=20,
+            iterations=5, seed=99)
+        d1 = ranks_dict(r1)
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        r2, _ = pagerank_monte_carlo(
+            spark, gnutella_mini.repartition(11), walks_per_vertex=20,
+            iterations=5, seed=99)
+        d2 = ranks_dict(r2)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert d1 == d2  # byte-identical, not just allclose
