@@ -1,0 +1,614 @@
+"""Driver-contract queries + DuckDB oracle SQL.
+
+Each entry in ``QUERIES`` is a callable ``(spark, sf_dir) -> DataFrame``;
+``ORACLE_SQL`` holds the ANSI-SQL twin DuckDB runs on the same parquet
+tables (views ``events documents embeddings …`` pre-registered by the
+driver). Column names and types are aligned on both sides — every
+aggregate/computed column is aliased identically, counts are cast to
+BIGINT, ratios/ranks rounded so independent float summation orders can't
+flip the value hash.
+
+Queries with no SQL twin (iterative/stochastic/LSH ops) are registered in
+``QUERIES`` only → the driver records a weaker rows-only check for them.
+
+The graph queries run over the *string-keyed* typed edges derived from
+the driver's ``events`` table via the transcripts view
+(sources/transcripts.py::transcripts_from_events), so the oracle never
+needs to reproduce the engine's vertex-id assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from montecarlopagerank_spark.operators.edges import _typed_edges, transcript_edges
+from montecarlopagerank_spark.sources.transcripts import transcripts_from_events
+
+EPS = 0.15
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+# ---------------------------------------------------------------------------
+
+# events → transcripts (mirror of transcripts_from_events, FIXTURES.md F5)
+SQL_TURNS = """
+turns AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+              AS INTEGER) AS turn_idx,
+         event_type AS role,
+         props AS text,
+         CASE WHEN event_id % 3 = 0 THEN event_type END AS tool,
+         ts
+  FROM events
+)"""
+
+# transcripts → typed string-keyed edges (mirror of operators/edges.py)
+SQL_TEDGES = SQL_TURNS + """,
+chained AS (
+  SELECT conv_id, turn_idx, role, tool,
+         LAG(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_turn,
+         LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+  FROM turns
+),
+tedges AS (
+  SELECT 'turn#' || conv_id || '#' || CAST(prev_turn AS VARCHAR) AS src,
+         'turn#' || conv_id || '#' || CAST(turn_idx AS VARCHAR) AS dst,
+         'turn_chain' AS kind
+  FROM chained WHERE prev_turn IS NOT NULL
+  UNION ALL
+  SELECT 'role#' || prev_role, 'role#' || role, 'role_role'
+  FROM chained WHERE prev_role IS NOT NULL
+  UNION ALL
+  SELECT 'turn#' || conv_id || '#' || CAST(turn_idx AS VARCHAR),
+         'tool#' || tool, 'turn_tool'
+  FROM chained WHERE tool IS NOT NULL
+)"""
+
+SQL_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+def _pi_sql(iters: int, eps: float = EPS) -> str:
+    """Power-iteration PageRank unrolled to ``iters`` supersteps as chained
+    CTEs — the exact relational twin of algos/pagerank_power.py's loop
+    (PowerIterationPageRank.scala:56-142 semantics in double space)."""
+    parts = [
+        "WITH " + SQL_TEDGES[1:],  # strip leading newline
+        """,
+verts AS (SELECT src AS v FROM tedges UNION SELECT dst FROM tedges),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+deg AS (SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS d FROM tedges GROUP BY src),
+r0 AS (SELECT v, 1.0 / nn.n AS r FROM verts CROSS JOIN nn)""",
+    ]
+    for i in range(iters):
+        parts.append(f""",
+m{i} AS (
+  SELECT COALESCE(SUM(r.r), 0.0) AS m
+  FROM r{i} r LEFT JOIN deg d ON r.v = d.v WHERE d.v IS NULL
+),
+c{i} AS (
+  SELECT e.dst AS v, SUM(r.r / d.d) AS mass
+  FROM tedges e JOIN r{i} r ON e.src = r.v JOIN deg d ON e.src = d.v
+  GROUP BY e.dst
+),
+r{i + 1} AS (
+  SELECT verts.v,
+         {eps} / nn.n + {1.0 - eps} * m{i}.m / nn.n
+           + {1.0 - eps} * COALESCE(c.mass, 0.0) AS r
+  FROM verts CROSS JOIN nn CROSS JOIN m{i} LEFT JOIN c{i} c ON verts.v = c.v
+)""")
+    parts.append(f"""
+SELECT r.v AS v, ROUND(r.r * nn.n, 6) AS rank_scaled
+FROM r{iters} r CROSS JOIN nn""")
+    return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Spark-side helpers
+# ---------------------------------------------------------------------------
+
+
+def _string_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed edges with string vertex keys ``kind#key`` (oracle-comparable
+    without the vid dictionary)."""
+    ts = transcripts_from_events(spark, sf_dir)
+    te = _typed_edges(ts)
+    return te.select(
+        F.concat("src_kind", F.lit("#"), "src_key").alias("src"),
+        F.concat("dst_kind", F.lit("#"), "dst_key").alias("dst"),
+        "kind",
+    )
+
+
+def _vid_graph(spark: SparkSession, sf_dir: str):
+    """(edges, vertices) with dense long vids + the vid→string-key map."""
+    ts = transcripts_from_events(spark, sf_dir)
+    edges, vertices = transcript_edges(ts)
+    key = vertices.select(
+        "vid", F.concat("kind", F.lit("#"), "key").alias("vkey")
+    )
+    return edges, vertices, key
+
+
+# ---------------------------------------------------------------------------
+# queries (Spark) — names must match ORACLE_SQL keys where a twin exists
+# ---------------------------------------------------------------------------
+
+
+def q_transcripts_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ts = transcripts_from_events(spark, sf_dir)
+    return ts.select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+    )
+
+
+def q_edge_counts_by_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _string_edges(spark, sf_dir)
+        .groupBy("kind")
+        .agg(F.count("*").alias("n_edges"))
+    )
+
+
+def q_turn_chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _string_edges(spark, sf_dir)
+        .filter(F.col("kind") == "turn_chain")
+        .select("src", "dst")
+    )
+
+
+def q_role_role_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _string_edges(spark, sf_dir)
+        .filter(F.col("kind") == "role_role")
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_tool_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _string_edges(spark, sf_dir)
+        .filter(F.col("kind") == "turn_tool")
+        .groupBy(F.col("dst").alias("tool_key"))
+        .agg(F.count("*").alias("n_refs"))
+    )
+
+
+def q_degree_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _string_edges(spark, sf_dir)
+    out_d = e.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("out_deg"))
+    in_d = e.groupBy(F.col("dst").alias("v")).agg(F.count("*").alias("in_deg"))
+    verts = e.select(F.col("src").alias("v")).unionByName(
+        e.select(F.col("dst").alias("v"))
+    ).distinct()
+    return (
+        verts.join(out_d, "v", "left")
+        .join(in_d, "v", "left")
+        .select(
+            "v",
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+        )
+        .orderBy(F.desc("in_deg"), F.asc("v"))
+        .limit(20)
+    )
+
+
+def q_pagerank_power_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5 exact supersteps (tol=0) — oracle-checked against the unrolled
+    SQL twin to round(rank*n, 6)."""
+    from montecarlopagerank_spark.algos.pagerank_power import pagerank_power
+
+    edges, vertices, key = _vid_graph(spark, sf_dir)
+    ranks, info = pagerank_power(spark, edges, vertices, tol=0.0, max_iters=5)
+    n = info["n"]
+    return ranks.join(key, ranks.v == key.vid).select(
+        F.col("vkey").alias("v"),
+        F.round(F.col("rank") * F.lit(float(n)), 6).alias("rank_scaled"),
+    )
+
+
+def q_pagerank_power_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: converged PI, top 20 central vertices (rows-only)."""
+    from montecarlopagerank_spark.algos.pagerank_power import pagerank_power, top_k
+
+    edges, vertices, key = _vid_graph(spark, sf_dir)
+    ranks, _ = pagerank_power(spark, edges, vertices, tol=1e-6, max_iters=120)
+    top = top_k(ranks, 20)
+    return top.join(key, top.v == key.vid).select(
+        F.col("vkey").alias("v"), F.round("rank", 6).alias("rank_r6")
+    ).orderBy(F.desc("rank_r6"), F.asc("v"))
+
+
+def q_pagerank_mc_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monte Carlo PageRank, top 20 (rows-only: stochastic estimator)."""
+    from montecarlopagerank_spark.algos.pagerank_mc import pagerank_monte_carlo
+
+    edges, vertices, key = _vid_graph(spark, sf_dir)
+    ranks, _ = pagerank_monte_carlo(
+        spark, edges, vertices, walks_per_vertex=10, iterations=10
+    )
+    top = ranks.orderBy(F.desc("rank"), F.asc("v")).limit(20)
+    return top.join(key, top.v == key.vid).select(
+        F.col("vkey").alias("v"), F.round("rank", 6).alias("rank_r6")
+    )
+
+
+def q_connected_components_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component size histogram (rows-only: iterative fixpoint)."""
+    from montecarlopagerank_spark.algos.components import connected_components
+
+    edges, vertices, key = _vid_graph(spark, sf_dir)
+    cc = connected_components(spark, edges, vertices)
+    sizes = cc.groupBy("component").agg(F.count("*").alias("size"))
+    return sizes.groupBy("size").agg(F.count("*").alias("n_components"))
+
+
+def q_label_propagation_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label community size histogram (rows-only)."""
+    from montecarlopagerank_spark.algos.labelprop import label_propagation
+
+    edges, vertices, key = _vid_graph(spark, sf_dir)
+    lp = label_propagation(spark, edges, vertices, max_iters=10)
+    sizes = lp.groupBy("label").agg(F.count("*").alias("size"))
+    return sizes.groupBy("size").agg(F.count("*").alias("n_labels"))
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total triangles in the undirected closure — SQL twin is the classic
+    x<y<z three-way join."""
+    from montecarlopagerank_spark.algos.triangles import _oriented
+
+    e = _string_edges(spark, sf_dir).select("src", "dst")
+    o = _oriented(e)
+    a = o.select(F.col("lo").alias("apex"), F.col("hi").alias("b"))
+    b = o.select(F.col("lo").alias("apex"), F.col("hi").alias("c"))
+    wedges = a.join(b, "apex").filter(F.col("b") < F.col("c"))
+    closing = o.select(F.col("lo").alias("b"), F.col("hi").alias("c")).unionByName(
+        o.select(F.col("hi").alias("b"), F.col("lo").alias("c"))
+    )
+    return (
+        wedges.join(closing, ["b", "c"], "left_semi")
+        .agg(F.count("*").alias("triangles"))
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from montecarlopagerank_spark.pipeline.textstats import token_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = token_stats(docs)
+    return s.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_word_tokens").cast("long").alias("n_word_tokens"),
+        F.col("n_bpe_est").cast("long").alias("n_bpe_est"),
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from montecarlopagerank_spark.pipeline.textstats import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_score(docs)
+
+
+def q_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from montecarlopagerank_spark.pipeline.textstats import langid_heuristic
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return langid_heuristic(docs)
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from montecarlopagerank_spark.pipeline.textstats import doc_fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return doc_fingerprint(docs)
+
+
+def q_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from montecarlopagerank_spark.pipeline.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(docs).select(
+        "keep_id", F.col("n_copies").cast("long").alias("n_copies")
+    )
+
+
+def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (rows-only: xxhash64 family has no
+    DuckDB twin; exactness of the verify step is covered by
+    q_ngram_jaccard_pairs)."""
+    from montecarlopagerank_spark.pipeline.dedup import minhash_dedup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_dedup_pairs(docs, jaccard_threshold=0.5)
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard for the fixed candidate set a<b, both < 40 —
+    SQL-oracled (DuckDB list_intersect/list_distinct)."""
+    from montecarlopagerank_spark.pipeline.dedup import ngram_jaccard
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select("doc_id").filter("doc_id < 40")
+    pairs = (
+        ids.select(F.col("doc_id").alias("a"))
+        .join(ids.select(F.col("doc_id").alias("b")), F.col("a") < F.col("b"))
+    )
+    return ngram_jaccard(docs, pairs)
+
+
+def q_simhash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from montecarlopagerank_spark.pipeline.dedup import simhash_near_dupes
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_near_dupes(docs, max_hamming=8)
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from montecarlopagerank_spark.pipeline.similarity import cosine_topk_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = cosine_topk_bruteforce(emb, emb.filter("vec_id < 5"), k=10)
+    return out.select(
+        "query_id", "neighbour_id", "cos_sim", F.col("rn").cast("long").alias("rn")
+    )
+
+
+def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN path (rows-only: recall-bounded, not exact)."""
+    from montecarlopagerank_spark.pipeline.similarity import cosine_topk_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk_lsh(emb, emb.filter("vec_id < 5"), k=10)
+
+
+def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs ≥ 0.4 cosine by brute force — SQL twin via
+    list_cosine_similarity."""
+    from montecarlopagerank_spark.pipeline.similarity import (
+        _dot,
+        with_unit_vectors,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    u = with_unit_vectors(emb).select("vec_id", "_unit")
+    a = u.select(F.col("vec_id").alias("a"), F.col("_unit").alias("va"))
+    b = u.select(F.col("vec_id").alias("b"), F.col("_unit").alias("vb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b", F.round(_dot(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.4)
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing smoke (rows-only: synthetic blobs, stub decode)."""
+    from montecarlopagerank_spark.pipeline.multimodal import (
+        fake_decode,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=32, parts=4)
+    return fake_decode(media, dim=8).select("media_id", "kind", "n_bytes")
+
+
+QUERIES = {
+    "transcripts_view": q_transcripts_view,
+    "edge_counts_by_kind": q_edge_counts_by_kind,
+    "turn_chain_edges": q_turn_chain_edges,
+    "role_role_matrix": q_role_role_matrix,
+    "tool_usage": q_tool_usage,
+    "degree_top20": q_degree_top20,
+    "pagerank_power_fixed": q_pagerank_power_fixed,
+    "pagerank_power_top20": q_pagerank_power_top20,
+    "pagerank_mc_top20": q_pagerank_mc_top20,
+    "connected_components_sizes": q_connected_components_sizes,
+    "label_propagation_sizes": q_label_propagation_sizes,
+    "triangle_count": q_triangle_count,
+    "token_stats": q_token_stats,
+    "quality_score": q_quality_score,
+    "langid_heuristic": q_langid_heuristic,
+    "doc_fingerprint": q_doc_fingerprint,
+    "exact_dedup_groups": q_exact_dedup_groups,
+    "minhash_dedup_pairs": q_minhash_dedup_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "simhash_near_dupes": q_simhash_near_dupes,
+    "embedding_topk": q_embedding_topk,
+    "embedding_topk_lsh": q_embedding_topk_lsh,
+    "embedding_near_dup_exact": q_embedding_near_dup_exact,
+    "media_features": q_media_features,
+}
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB) — one entry per SQL-expressible query above
+# ---------------------------------------------------------------------------
+
+STOPWORDS_SQL = "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it']"
+
+ORACLE_SQL = {
+    "transcripts_view": f"""
+WITH {SQL_TURNS[1:]}
+SELECT conv_id, turn_idx, role, text, tool,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+FROM turns
+""",
+    "edge_counts_by_kind": f"""
+WITH {SQL_TEDGES[1:]}
+SELECT kind, COUNT(*) AS n_edges FROM tedges GROUP BY kind
+""",
+    "turn_chain_edges": f"""
+WITH {SQL_TEDGES[1:]}
+SELECT src, dst FROM tedges WHERE kind = 'turn_chain'
+""",
+    "role_role_matrix": f"""
+WITH {SQL_TEDGES[1:]}
+SELECT src, dst, COUNT(*) AS n FROM tedges WHERE kind = 'role_role'
+GROUP BY src, dst
+""",
+    "tool_usage": f"""
+WITH {SQL_TEDGES[1:]}
+SELECT dst AS tool_key, COUNT(*) AS n_refs FROM tedges
+WHERE kind = 'turn_tool' GROUP BY dst
+""",
+    "degree_top20": f"""
+WITH {SQL_TEDGES[1:]},
+verts AS (SELECT src AS v FROM tedges UNION SELECT dst FROM tedges),
+outd AS (SELECT src AS v, COUNT(*) AS out_deg FROM tedges GROUP BY src),
+ind  AS (SELECT dst AS v, COUNT(*) AS in_deg  FROM tedges GROUP BY dst)
+SELECT verts.v, COALESCE(ind.in_deg, 0) AS in_deg,
+       COALESCE(outd.out_deg, 0) AS out_deg
+FROM verts LEFT JOIN outd ON verts.v = outd.v LEFT JOIN ind ON verts.v = ind.v
+ORDER BY in_deg DESC, verts.v ASC LIMIT 20
+""",
+    "pagerank_power_fixed": _pi_sql(5),
+    "triangle_count": f"""
+WITH {SQL_TEDGES[1:]},
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS x, GREATEST(src, dst) AS y
+  FROM tedges WHERE src <> dst
+)
+SELECT COUNT(*) AS triangles
+FROM und a JOIN und b ON a.y = b.x JOIN und c ON a.x = c.x AND b.y = c.y
+""",
+    "token_stats": r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+         AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+         AS n_word_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
+FROM documents
+""",
+    "quality_score": rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\s+') AS tk,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS n_punct
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         CAST(len(tk) AS DOUBLE) AS n_tok,
+         CAST(len(list_filter(tk, x -> list_contains({STOPWORDS_SQL}, lower(x))))
+              AS DOUBLE) AS n_stop,
+         n_chars, n_punct
+  FROM t
+),
+m AS (
+  SELECT doc_id,
+         CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_tok > 0 THEN n_chars / n_tok ELSE 0.0 END AS mean_tok_len,
+         CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+         n_chars
+  FROM r
+)
+SELECT doc_id,
+       ROUND(stop_ratio, 6) AS stop_ratio,
+       ROUND(mean_tok_len, 6) AS mean_tok_len,
+       ROUND(punct_ratio, 6) AS punct_ratio,
+       ROUND(
+         (CASE WHEN n_chars >= 50 AND n_chars <= 20000 THEN 0.4 ELSE 0.0 END)
+         + (CASE WHEN stop_ratio >= 0.01 AND stop_ratio <= 0.6 THEN 0.3 ELSE 0.0 END)
+         + (CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 12.0 THEN 0.2 ELSE 0.0 END)
+         + (CASE WHEN punct_ratio <= 0.1 THEN 0.1 ELSE 0.0 END), 2) AS quality
+FROM m
+""",
+    "langid_heuristic": r"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(greatest(length(text), 1) AS DOUBLE) AS n_chars,
+         len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]')) AS cjk,
+         len(regexp_extract_all(text, '[\x{3040}-\x{30FF}]')) AS kana,
+         len(regexp_extract_all(text, '[\x{AC00}-\x{D7AF}]')) AS hangul,
+         len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')) AS cyr,
+         len(regexp_extract_all(text, '[\x{00C0}-\x{00FF}\x{0100}-\x{017F}]')) AS acc
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN cjk / n_chars > 0.05 THEN 'zh'
+            WHEN kana / n_chars > 0.05 THEN 'ja'
+            WHEN hangul / n_chars > 0.05 THEN 'ko'
+            WHEN cyr / n_chars > 0.05 THEN 'ru'
+            WHEN acc / n_chars > 0.03 THEN 'latin-acc'
+            ELSE 'en' END AS pred_lang
+FROM c
+""",
+    "doc_fingerprint": rf"""
+WITH n AS (
+  SELECT doc_id, {SQL_NORM} AS norm FROM documents
+),
+t AS (
+  SELECT doc_id, norm, regexp_split_to_array(norm, '\s+') AS tk FROM n
+)
+SELECT doc_id,
+       md5(norm) AS md5_norm,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           [('0x' || substr(md5(x), 1, 8))::BIGINT for x in tk]),
+         (h, x) -> (h * 31 + x) % 2147483647
+       ) AS rolling_hash
+FROM t
+""",
+    "exact_dedup_groups": f"""
+SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM (SELECT doc_id, md5({SQL_NORM}) AS k FROM documents) g
+GROUP BY k
+""",
+    "ngram_jaccard_pairs": rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array({SQL_NORM}, '\s+') AS tk
+  FROM documents WHERE doc_id < 40
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(tk) >= 3
+                THEN [array_to_string(tk[i:i+2], ' ')
+                      for i in generate_series(1, len(tk) - 2)]
+                ELSE [array_to_string(tk, ' ')] END
+         ) AS shingles
+  FROM t
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+""",
+    "embedding_topk": """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS neighbour_id,
+         ROUND(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+               6) AS cos_sim
+  FROM embeddings q JOIN embeddings b ON b.vec_id <> q.vec_id
+  WHERE q.vec_id < 5
+),
+ranked AS (
+  SELECT query_id, neighbour_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbour_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, neighbour_id, cos_sim, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10
+""",
+    "embedding_near_dup_exact": """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+             6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+            6) >= 0.4
+""",
+}
