@@ -1,0 +1,132 @@
+"""Headline benchmark: runs the engine's flagship operators at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Per-query seconds are wall-clock including all supersteps. The "extra"
+block reports the BASELINE.json metric components (supersteps/sec and
+edges-processed/sec for PI to 1e-6) — the N-vs-4N scaling-efficiency
+evidence lives in tools/bench_scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from montecarlopagerank_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="bench")
+
+    from montecarlopagerank_spark.algos.components import connected_components
+    from montecarlopagerank_spark.algos.labelprop import label_propagation
+    from montecarlopagerank_spark.algos.pagerank_mc import pagerank_monte_carlo
+    from montecarlopagerank_spark.algos.pagerank_power import pagerank_power
+    from montecarlopagerank_spark.algos.triangles import triangle_count
+    from montecarlopagerank_spark.operators.edges import transcript_edges
+    from montecarlopagerank_spark.pipeline.dedup import minhash_dedup_pairs
+    from montecarlopagerank_spark.pipeline.similarity import cosine_topk_lsh
+    from montecarlopagerank_spark.pipeline.textstats import (
+        quality_score,
+        token_stats,
+    )
+    from montecarlopagerank_spark.sources.transcripts import transcripts_from_events
+
+    queries: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name: str):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.time()
+                return self
+
+            def __exit__(self, *a):
+                queries[name] = round(time.time() - self.t0, 3)
+
+        return _T()
+
+    # graph build (timed as its own query)
+    with timed("graph_build"):
+        ts = transcripts_from_events(spark, sf_dir)
+        edges, vertices = transcript_edges(ts)
+        edges = edges.persist()
+        vertices = vertices.persist()
+        n_edges = edges.count()
+        n_vertices = vertices.count()
+    extra["n_edges"] = n_edges
+    extra["n_vertices"] = n_vertices
+
+    with timed("pagerank_power_1e6"):
+        ranks, info = pagerank_power(
+            spark, edges, vertices, tol=1e-6, max_iters=150
+        )
+        ranks.orderBy(F.desc("rank")).limit(20).collect()
+    pi_secs = queries["pagerank_power_1e6"]
+    extra["pi_supersteps"] = info["iterations"]
+    extra["pi_converged"] = bool(info["converged"])
+    extra["pi_supersteps_per_sec"] = round(info["iterations"] / pi_secs, 4)
+    extra["pi_edges_per_sec"] = round(n_edges * info["iterations"] / pi_secs, 1)
+
+    with timed("pagerank_mc_k10x10"):
+        mc_ranks, mc_info = pagerank_monte_carlo(
+            spark, edges, vertices, walks_per_vertex=10, iterations=10
+        )
+        mc_ranks.orderBy(F.desc("rank")).limit(20).collect()
+    extra["mc_supersteps_per_sec"] = round(
+        mc_info["iterations"] / queries["pagerank_mc_k10x10"], 4
+    )
+
+    with timed("connected_components"):
+        cc = connected_components(spark, edges, vertices)
+        cc.groupBy("component").count().orderBy(F.desc("count")).limit(5).collect()
+
+    with timed("label_propagation_10"):
+        lp = label_propagation(spark, edges, vertices, max_iters=10)
+        lp.groupBy("label").count().orderBy(F.desc("count")).limit(5).collect()
+
+    with timed("triangle_count"):
+        extra["triangles"] = triangle_count(spark, edges)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    with timed("minhash_dedup"):
+        minhash_dedup_pairs(docs, jaccard_threshold=0.5).count()
+
+    with timed("text_stats"):
+        token_stats(docs).agg(F.sum("n_tokens")).collect()
+        quality_score(docs).agg(F.avg("quality")).collect()
+
+    with timed("ann_lsh_topk"):
+        cosine_topk_lsh(emb, emb.filter("vec_id < 16"), k=10).count()
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "engine_bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf),
+                "extra": extra,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -45,11 +45,9 @@ from pyspark.storagelevel import StorageLevel
 
 from montecarlopagerank_spark.operators.adjacency import (
     assign_blocks,
-    build_adjacency,
-    build_csr_blocks,
+    build_csr_blocks_from_edges,
 )
 from montecarlopagerank_spark.operators.checkpoint import CheckpointManager
-from montecarlopagerank_spark.operators.edges import degrees as degrees_of
 from montecarlopagerank_spark.operators.state import StateStore
 
 EPS = 0.15
@@ -100,20 +98,43 @@ def pagerank_monte_carlo(
     iterations: int = 10,
     eps: float = EPS,
     seed: int = 1234,  # reference's RNG base seed, MonteCarloPageRank.scala:52
-    edges_per_block: int = 1 << 20,
+    edges_per_block: int | None = None,
     checkpoint_dir: str | None = None,
     resume: bool = False,
 ) -> tuple[DataFrame, dict[str, Any]]:
-    """Returns (``ranks(v:long, rank:double)``, info). Rank = ζ_v / Σζ."""
+    """Returns (``ranks(v:long, rank:double)``, info). Rank = ζ_v / Σζ.
+
+    ``edges_per_block`` controls walk-kernel parallelism: one CSR block =
+    one Arrow task. Default sizes blocks so there are ≈ 2 blocks per core
+    slot (min 64k edges/block so huge clusters don't shred small graphs).
+    NOTE: block boundaries do NOT affect results (RNG is seeded per
+    logical block — changing block size changes the draw sequence, but
+    any fixed (seed, edges_per_block) is parallelism-invariant)."""
     K = max(walks_per_vertex, 1)  # MonteCarloPageRank.scala:101
-    deg = degrees_of(edges, vertices)
-    blocks_assign = assign_blocks(deg, edges_per_block=edges_per_block).persist(
+    # lean setup (one agg + block windows + one CSR pack): only vertices
+    # with out-edges need blocks/CSR rows — coupons at dangling vertices
+    # are dropped by the inner join below, i.e. they die, the reference's
+    # dangling semantics (MonteCarloPageRank.scala:73)
+    out_deg = edges.groupBy(F.col("src").alias("v")).agg(
+        F.count("*").alias("out_deg")
+    )
+    verts = (
+        vertices.select(F.col("vid").alias("v"))
+        if vertices is not None
+        else edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if edges_per_block is None:
+        total_w = edges.count() + verts.count()
+        slots = spark.sparkContext.defaultParallelism
+        edges_per_block = max(total_w // max(2 * slots, 1) + 1, 1 << 12)
+    blocks_assign = assign_blocks(
+        out_deg, edges_per_block=edges_per_block
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    csr = build_csr_blocks_from_edges(edges, blocks_assign).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    adj = build_adjacency(
-        edges, vertices if vertices is not None else deg.select(F.col("v").alias("vid"))
-    )
-    csr = build_csr_blocks(adj, blocks_assign).persist(StorageLevel.MEMORY_AND_DISK)
     csr.count()  # materialize the loop-invariant structure once
 
     ckpt = None
@@ -133,7 +154,7 @@ def pagerank_monte_carlo(
         else:
             ckpt.clear()
     if start_step == 0:
-        init = deg.select("v", F.lit(int(K)).cast("long").alias("c"))
+        init = verts.select("v", F.lit(int(K)).cast("long").alias("c"))
         visits_init = init.select("v", F.col("c").alias("z"))  # ζ starts at K (:106)
         if ckpt:
             t = ckpt.save_step(-1, {"coupons": init, "visits": visits_init},
@@ -182,6 +203,7 @@ def pagerank_monte_carlo(
         ranks.count()  # pin before callers drop the scratch reference
     blocks_assign.unpersist()
     csr.unpersist()
+    verts.unpersist()
     info = {
         "iterations": steps_run, "K": K, "seed": seed,
         "total_visits": int(total), "eps": eps,

@@ -99,6 +99,40 @@ def assign_blocks(
     )
 
 
+def build_csr_blocks_from_edges(
+    edges: DataFrame, block_assign: DataFrame
+) -> DataFrame:
+    """Edge pairs + block assignment → CSR block rows, skipping the
+    relational adjacency intermediate (one shuffle less than
+    ``build_adjacency`` → ``build_csr_blocks``).
+
+    Only vertices WITH out-edges get CSR rows: walk kernels inner-join
+    coupons against the block assignment first, so coupons at dangling
+    vertices never reach a kernel — they die, which is exactly the
+    reference's dangling-walk semantics (MonteCarloPageRank.scala:73).
+    """
+    joined = edges.join(
+        block_assign.withColumnRenamed("v", "src"), "src"
+    ).select("block_id", "src", "dst")
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["src", "dst"], kind="mergesort")
+        src = pdf["src"].to_numpy(dtype=np.int64)
+        indices = pdf["dst"].to_numpy(dtype=np.int64)
+        vids, counts = np.unique(src, return_counts=True)
+        indptr = np.concatenate(([0], np.cumsum(counts)))
+        return pd.DataFrame(
+            {
+                "block_id": [int(pdf["block_id"].iloc[0])],
+                "vids": [vids],
+                "indptr": [indptr],
+                "indices": [indices],
+            }
+        )
+
+    return joined.groupBy("block_id").applyInPandas(pack, schema=CSR_BLOCK_SCHEMA)
+
+
 def build_csr_blocks(
     adj: DataFrame, block_assign: DataFrame, n_shuffle: int | None = None
 ) -> DataFrame:

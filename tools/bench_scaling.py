@@ -1,0 +1,150 @@
+"""Scaling-efficiency evidence: the same job at two parallelism levels.
+
+BASELINE.json's metric requires ≥0.8 throughput scaling efficiency
+between N- and 4N-executor clusters. This sandbox has one machine, so the
+evidence (per BASELINE.md) is the identical job at ``local[8]`` vs
+``local[32]`` on the same input, reporting throughput at both plus
+
+    efficiency = throughput(4N) / (4 × throughput(N))
+
+For the comparison to measure *scaling* rather than fixed per-superstep
+scheduling overhead, the input must be large enough that compute
+dominates: a deterministic synthetic power-law graph of ``--edges``
+edges (default 20M) generated identically in both runs (hash-derived,
+no RNG state, parallelism-invariant). Both runs execute a fixed number
+of PI supersteps (tol=0) and K MC supersteps, then print integer/rounded
+checksums that must MATCH between runs — the block-seeded RNG makes MC
+parallelism-invariant (SURVEY.md §7.3), which is what lets one input
+serve both cluster sizes.
+
+Each parallelism level runs in its own subprocess (fresh JVM) so Spark
+configs can't leak between runs. Results → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from montecarlopagerank_spark.session import get_spark
+from pyspark.sql import functions as F
+
+cores = int(sys.argv[1])
+n_edges = int(sys.argv[2])
+pi_steps = int(sys.argv[3])
+mc_steps = int(sys.argv[4])
+mc_walks = int(sys.argv[5])
+# pinned: identical CSR blocks at every parallelism level, so the
+# block-seeded RNG draws the same walks in both runs (SURVEY.md §7.3)
+edges_per_block = max(n_edges // 64, 1 << 12)
+
+spark = get_spark(app_name=f"scaling-{{cores}}", master=f"local[{{cores}}]",
+                  shuffle_partitions=cores)
+
+# deterministic synthetic power-law digraph: for edge i, src = i mod n,
+# dst biased to low ids via product of two hashes -> hubby in-degree.
+n_vertices = n_edges // 16
+edges = (
+    spark.range(0, n_edges, 1, cores * 2)
+    .select(
+        (F.col("id") % n_vertices).alias("src"),
+        (
+            (F.pmod(F.xxhash64("id"), F.lit(1 << 30)) / F.lit(float(1 << 30)))
+            * (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1 << 30)) / F.lit(float(1 << 30)))
+            * n_vertices
+        ).cast("long").alias("dst"),
+    )
+    .filter("src != dst")
+)
+edges = edges.persist(); real_edges = edges.count()
+
+from montecarlopagerank_spark.algos.pagerank_power import pagerank_power
+t0 = time.time()
+ranks, info = pagerank_power(spark, edges, tol=0.0, max_iters=pi_steps)
+pi_secs = time.time() - t0
+# integer checksum: order-independent exact sum (float-sum checksums are
+# partitioning-dependent); round-6 quantization absorbs ~1e-13 float noise
+r_int = F.round(F.col("rank") * n_vertices * 1e6).cast("long")
+pi_check = ranks.agg(
+    F.sum(F.pmod(r_int * F.col("v"), F.lit(1000000007))).alias("c"),
+    F.count("*").alias("n")).collect()[0]
+
+from montecarlopagerank_spark.algos.pagerank_mc import pagerank_monte_carlo
+t0 = time.time()
+mcr, mcinfo = pagerank_monte_carlo(
+    spark, edges, walks_per_vertex=mc_walks, iterations=mc_steps,
+    edges_per_block=edges_per_block)
+mc_secs = time.time() - t0
+# integer visit totals -> exact, order-independent checksum
+mc_check = mcinfo["total_visits"]
+
+print("RESULT " + json.dumps({{
+    "cores": cores, "edges": real_edges,
+    "pi_secs": round(pi_secs, 2), "pi_steps": pi_steps,
+    "pi_eps": round(real_edges * pi_steps / pi_secs, 1),
+    "pi_check": [int(pi_check["c"]), pi_check["n"]],
+    "mc_secs": round(mc_secs, 2), "mc_steps": mcinfo["iterations"],
+    "mc_eps": round(real_edges * mcinfo["iterations"] / mc_secs, 1),
+    "mc_check": mc_check,
+}}))
+spark.stop()
+"""
+
+
+def run_level(cores: int, args) -> dict:
+    script = WORKER.format(repo=REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(cores), str(args.edges),
+         str(args.pi_steps), str(args.mc_steps), str(args.mc_walks)],
+        capture_output=True, text=True, timeout=args.timeout,
+        env={**os.environ, "SPARK_GRAFT_CPUS": str(cores)},
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(
+        f"worker local[{cores}] produced no RESULT:\n{out.stdout[-2000:]}\n"
+        f"{out.stderr[-2000:]}"
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--edges", type=int, default=20_000_000)
+    ap.add_argument("--n-low", type=int, default=8)
+    ap.add_argument("--n-high", type=int, default=32)
+    ap.add_argument("--pi-steps", type=int, default=5)
+    ap.add_argument("--mc-steps", type=int, default=3)
+    ap.add_argument("--mc-walks", type=int, default=16)
+    ap.add_argument("--timeout", type=int, default=3600)
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "scaling.json"))
+    args = ap.parse_args()
+
+    low = run_level(args.n_low, args)
+    high = run_level(args.n_high, args)
+    factor = args.n_high / args.n_low
+    report = {
+        "edges": low["edges"],
+        "low": low,
+        "high": high,
+        "identical_pi_output": low["pi_check"] == high["pi_check"],
+        "identical_mc_output": low["mc_check"] == high["mc_check"],
+        "pi_efficiency": round(high["pi_eps"] / (factor * low["pi_eps"]), 3),
+        "mc_efficiency": round(high["mc_eps"] / (factor * low["mc_eps"]), 3),
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
