@@ -35,6 +35,7 @@ survivor draws, then one uniform draw per surviving walk mapped through
 
 from __future__ import annotations
 
+import time
 from typing import Any
 
 import numpy as np
@@ -110,6 +111,7 @@ def pagerank_monte_carlo(
     NOTE: block boundaries do NOT affect results (RNG is seeded per
     logical block — changing block size changes the draw sequence, but
     any fixed (seed, edges_per_block) is parallelism-invariant)."""
+    t_setup = time.time()
     K = max(walks_per_vertex, 1)  # MonteCarloPageRank.scala:101
     # lean setup (one agg + block windows + one CSR pack): only vertices
     # with out-edges need blocks/CSR rows — coupons at dangling vertices
@@ -165,6 +167,7 @@ def pagerank_monte_carlo(
             visits = store.materialize(visits_init, "visits")
 
     steps_run = start_step
+    t_loop = time.time()
     for step in range(start_step, iterations):
         moved = (
             coupons.join(blocks_assign, "v")
@@ -194,6 +197,7 @@ def pagerank_monte_carlo(
         if coupons.isEmpty():  # extinction — nothing left to walk
             break
 
+    t_loop_end = time.time()
     total = visits.agg(F.sum("z")).collect()[0][0]
     ranks = visits.select("v", (F.col("z") / F.lit(float(total))).alias("rank"))
     if ckpt:
@@ -207,5 +211,7 @@ def pagerank_monte_carlo(
     info = {
         "iterations": steps_run, "K": K, "seed": seed,
         "total_visits": int(total), "eps": eps,
+        "setup_secs": round(t_loop - t_setup, 3),
+        "loop_secs": round(t_loop_end - t_loop, 3),
     }
     return ranks, info

@@ -29,6 +29,7 @@ checkpoint, never over edges.
 
 from __future__ import annotations
 
+import time
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -77,6 +78,7 @@ def pagerank_power(
     resumable parquet snapshot + manifest; ``resume=True`` continues from
     the last complete step. Without it, ``localCheckpoint`` truncates
     lineage each step (not resumable, faster for benches)."""
+    t_setup = time.time()
     n_parts = n_partitions or spark.conf.get("spark.sql.shuffle.partitions")
     verts, deg, contrib_edges = _prepare(edges, vertices)
     contrib_edges = contrib_edges.repartition(int(n_parts), "src").persist(
@@ -132,6 +134,7 @@ def pagerank_power(
 
     converged = False
     it = start_step
+    t_loop = time.time()
     for it in range(start_step, max_iters):
         contribs = (
             contrib_edges.join(ranks.withColumnRenamed("v", "src"), "src")
@@ -197,7 +200,11 @@ def pagerank_power(
         # scratch files in place as the recompute source
         ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
         ranks.count()
-    info = {"iterations": it + 1, "converged": converged, "deltas": deltas, "n": n}
+    info = {
+        "iterations": it + 1, "converged": converged, "deltas": deltas, "n": n,
+        "setup_secs": round(t_loop - t_setup, 3),
+        "loop_secs": round(time.time() - t_loop, 3),
+    }
     return ranks, info
 
 

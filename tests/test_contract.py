@@ -1,0 +1,77 @@
+"""Fast driver-contract gate: a representative subset of
+__spark_entry__ queries vs their DuckDB oracles at sf0.001 (the full
+set runs via tools/check_oracles.py at sf0.01 — this keeps pytest quick
+while still failing on oracle drift)."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+
+SUBSET = [
+    "edge_counts_by_kind",
+    "degree_top20",
+    "token_stats",
+    "doc_fingerprint",
+    "exact_dedup_groups",
+    "langid_heuristic",
+    "embedding_topk",
+    "triangle_count",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in ["events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(spark, ddb, name):
+    import __spark_entry__ as entry
+
+    got = canon(entry.queries()[name](spark, SF_DIR).toPandas())
+    want = canon(ddb.sql(entry.oracle_sql()[name]).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entry
+
+    df = entry.entry(spark)
+    rows = df.collect()
+    assert len(rows) == 20
+    assert df.columns == ["v", "rank_r6"]
+    # best-first and hub tools on top of the transcript graph
+    ranks = [r["rank_r6"] for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+
+
+def test_every_oracle_has_query():
+    import __spark_entry__ as entry
+
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 20
