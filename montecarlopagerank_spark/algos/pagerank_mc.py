@@ -107,7 +107,9 @@ def pagerank_monte_carlo(
 
     ``edges_per_block`` controls walk-kernel parallelism: one CSR block =
     one Arrow task. Default sizes blocks so there are ≈ 2 blocks per core
-    slot (min 64k edges/block so huge clusters don't shred small graphs).
+    slot (min 4k edges/block so huge clusters don't shred small graphs);
+    the default therefore varies with cluster size — pass an explicit
+    value when outputs must be identical across different clusters.
     NOTE: block boundaries do NOT affect results (RNG is seeded per
     logical block — changing block size changes the draw sequence, but
     any fixed (seed, edges_per_block) is parallelism-invariant)."""
@@ -169,8 +171,10 @@ def pagerank_monte_carlo(
     steps_run = start_step
     t_loop = time.time()
     for step in range(start_step, iterations):
+        # shuffle_hash: block_assign is O(n) — broadcasting it per step
+        # would serialize on the driver (see pagerank_power loop note)
         moved = (
-            coupons.join(blocks_assign, "v")
+            coupons.join(blocks_assign.hint("shuffle_hash"), "v")
             .groupby("block_id")
             .cogroup(csr.groupby("block_id"))
             .applyInPandas(_walk_kernel(eps, seed, step), schema="dst long, cnt long")

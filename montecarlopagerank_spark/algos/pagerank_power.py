@@ -136,8 +136,16 @@ def pagerank_power(
     it = start_step
     t_loop = time.time()
     for it in range(start_step, max_iters):
+        # shuffle_hash hints: the rank vector is O(n) and must NEVER be
+        # broadcast (a driver-serial hash build per superstep — measured
+        # to flatline core-scaling once n·16B slips under the broadcast
+        # threshold). SHJ shuffles only the rank side (edges stay put,
+        # pre-partitioned by src) and builds per-partition hash tables in
+        # parallel — the plan that survives a 100× scale-up.
         contribs = (
-            contrib_edges.join(ranks.withColumnRenamed("v", "src"), "src")
+            contrib_edges.join(
+                ranks.withColumnRenamed("v", "src").hint("shuffle_hash"), "src"
+            )
             .select(
                 F.col("dst").alias("v"),
                 (F.col("rank") * F.col("inv_deg")).alias("mass"),
@@ -147,7 +155,7 @@ def pagerank_power(
         )
         base = eps / n + (1.0 - eps) * m / n
         new_ranks = (
-            vflag.join(contribs, "v", "left")
+            vflag.join(contribs.hint("shuffle_hash"), "v", "left")
             .select(
                 "v", "dang",
                 (
@@ -158,7 +166,8 @@ def pagerank_power(
         )
         joined = (
             new_ranks
-            .join(ranks.withColumnRenamed("rank", "old_rank"), "v")
+            .join(ranks.withColumnRenamed("rank", "old_rank").hint("shuffle_hash"),
+                  "v")
             .select("v", "rank", "dang",
                     F.abs(F.col("rank") - F.col("old_rank")).alias("dv"))
         )

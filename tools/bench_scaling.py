@@ -42,6 +42,7 @@ n_edges = int(sys.argv[2])
 pi_steps = int(sys.argv[3])
 mc_steps = int(sys.argv[4])
 mc_walks = int(sys.argv[5])
+avg_degree = int(sys.argv[6])
 # pinned: identical CSR blocks at every parallelism level, so the
 # block-seeded RNG draws the same walks in both runs (SURVEY.md §7.3)
 edges_per_block = max(n_edges // 64, 1 << 12)
@@ -51,7 +52,7 @@ spark = get_spark(app_name=f"scaling-{{cores}}", master=f"local[{{cores}}]",
 
 # deterministic synthetic power-law digraph: for edge i, src = i mod n,
 # dst biased to low ids via product of two hashes -> hubby in-degree.
-n_vertices = n_edges // 16
+n_vertices = n_edges // avg_degree
 edges = (
     spark.range(0, n_edges, 1, cores * 2)
     .select(
@@ -107,7 +108,8 @@ def run_level(cores: int, args) -> dict:
     script = WORKER.format(repo=REPO)
     out = subprocess.run(
         [sys.executable, "-c", script, str(cores), str(args.edges),
-         str(args.pi_steps), str(args.mc_steps), str(args.mc_walks)],
+         str(args.pi_steps), str(args.mc_steps), str(args.mc_walks),
+         str(args.avg_degree)],
         capture_output=True, text=True, timeout=args.timeout,
         env={**os.environ, "SPARK_GRAFT_CPUS": str(cores)},
     )
@@ -128,6 +130,7 @@ def main() -> None:
     ap.add_argument("--pi-steps", type=int, default=5)
     ap.add_argument("--mc-steps", type=int, default=6)
     ap.add_argument("--mc-walks", type=int, default=16)
+    ap.add_argument("--avg-degree", type=int, default=16)
     ap.add_argument("--timeout", type=int, default=3600)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "scaling.json"))
     args = ap.parse_args()
