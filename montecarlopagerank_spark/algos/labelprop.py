@@ -16,7 +16,7 @@ map-side because (v, label) collapses duplicates early.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -48,7 +48,7 @@ def label_propagation(
     )
 
     w = Window.partitionBy("v").orderBy(F.desc("cnt"), F.asc("label"))
-    for _ in range(max_iters):
+    for it in range(max_iters):
         nbr_labels = sym.join(
             labels.withColumnRenamed("v", "u"), "u"
         ).select("v", "label")
@@ -67,10 +67,17 @@ def label_propagation(
                 (F.coalesce("new_label", "label") != F.col("label")).alias("changed"),
             )
         )
-        updated = store.materialize(updated, "labels")
-        n_changed = updated.filter("changed").count()
-        labels = updated.select("v", "label")
-        if n_changed == 0:
+        # changed-count rides the write job as an observed metric — one
+        # Spark job per superstep, no separate count() action
+        obs = Observation(f"lpa_step_{it}")
+        updated = store.materialize(
+            updated.observe(
+                obs, F.sum(F.when(F.col("changed"), 1).otherwise(0)).alias("nc")
+            ).select("v", "label"),
+            "labels",
+        )
+        labels = updated
+        if int(obs.get["nc"] or 0) == 0:
             break
     sym.unpersist()
     return labels

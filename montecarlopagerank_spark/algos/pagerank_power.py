@@ -22,9 +22,13 @@ per SURVEY.md §2.6 "reference bugs":
 Scale shape: the loop-invariant (src, dst, inv_deg) edge table is hash-
 partitioned by src once and persisted; each superstep shuffles only the
 rank vector (one groupBy(dst) with map-side combine — the one unavoidable
-shuffle) and runs ONE job (checkpoint write); the convergence delta and
-dangling mass ride along as re-read aggregates over the (tiny) vertex-rank
-checkpoint, never over edges.
+shuffle) and runs EXACTLY ONE Spark job: the state write, with the
+convergence delta and next step's dangling mass riding along as
+``DataFrame.observe`` metrics on the written frame (no separate per-step
+aggregate job — at high core counts a second job's fixed schedule+IO cost
+dominates the superstep and caps scaling efficiency). The state table
+carries (v, dang, rank) so the next superstep needs only one join against
+it (old rank and the dangling flag come for free), not three.
 """
 
 from __future__ import annotations
@@ -32,7 +36,7 @@ from __future__ import annotations
 import time
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -84,18 +88,23 @@ def pagerank_power(
     contrib_edges = contrib_edges.repartition(int(n_parts), "src").persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    # vertex table with a dangling flag: lets each superstep's single
-    # aggregate produce BOTH the convergence delta and the next step's
-    # dangling mass (no separate per-step lookup job — the reference pays
-    # a full lookup(-1) action per superstep, PowerIterationPageRank.scala:111)
+    # vertex table with a dangling flag: the flag lives IN the state table
+    # so each superstep's single write job produces BOTH the convergence
+    # delta and the next step's dangling mass via observed metrics (no
+    # per-step lookup job — the reference pays a full lookup(-1) action per
+    # superstep, PowerIterationPageRank.scala:111)
     vflag = deg.select("v", (F.col("out_deg") == 0).alias("dang")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    n = vflag.count()
+    crow = vflag.agg(  # one setup job for both counts
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("dang"), 1).otherwise(0)).alias("nd"),
+    ).collect()[0]
+    n = crow["n"]
     if n == 0:
         empty = spark.createDataFrame([], "v long, rank double")
         return empty, {"iterations": 0, "converged": True, "deltas": [], "n": 0}
-    n_dangling = vflag.filter("dang").count()
+    n_dangling = crow["nd"]
 
     ckpt = None
     store = StateStore(spark)  # scratch superstep materializer (state.py)
@@ -109,26 +118,28 @@ def pagerank_power(
         if resume:
             last = ckpt.last_complete_step()
             if last is not None:
-                ranks = ckpt.load_tables(last, ["state"])["state"].select("v", "rank")
+                state = ckpt.load_tables(last, ["state"])["state"].select(
+                    "v", "dang", "rank"
+                )
                 man = ckpt.manifest(last) or {}
                 deltas = list(man.get("metrics", {}).get("deltas", []))
                 m = man.get("metrics", {}).get("next_dangling_mass")
                 start_step = last + 1
                 if man.get("metrics", {}).get("converged"):
-                    return ranks, {
+                    return state.select("v", "rank"), {
                         "iterations": last + 1, "converged": True,
                         "deltas": deltas, "n": n, "resumed_at": last + 1,
                     }
         else:
             ckpt.clear()
     if start_step == 0:
-        ranks = store.materialize(
-            verts.select("v", (F.lit(1.0) / n).alias("rank"))
+        state = store.materialize(
+            vflag.select("v", "dang", (F.lit(1.0) / n).alias("rank"))
         )
         m = n_dangling / n  # uniform init → closed-form dangling mass
     if m is None:  # resumed from a pre-upgrade manifest: one recovery job
         m = (
-            ranks.join(vflag.filter("dang"), "v")
+            state.filter("dang")
             .agg(F.sum("rank").alias("m")).collect()[0]["m"] or 0.0
         )
 
@@ -144,7 +155,8 @@ def pagerank_power(
         # parallel — the plan that survives a 100× scale-up.
         contribs = (
             contrib_edges.join(
-                ranks.withColumnRenamed("v", "src").hint("shuffle_hash"), "src"
+                state.select(F.col("v").alias("src"), "rank").hint("shuffle_hash"),
+                "src",
             )
             .select(
                 F.col("dst").alias("v"),
@@ -154,41 +166,42 @@ def pagerank_power(
             .agg(F.sum("mass").alias("mass"))  # partial+final hash agg
         )
         base = eps / n + (1.0 - eps) * m / n
-        new_ranks = (
-            vflag.join(contribs.hint("shuffle_hash"), "v", "left")
+        # the state table carries (dang, old rank), so ONE join yields the
+        # new rank, the dangling flag, and the per-vertex delta together
+        joined = (
+            state.withColumnRenamed("rank", "old_rank")
+            .join(contribs.hint("shuffle_hash"), "v", "left")
             .select(
                 "v", "dang",
                 (
                     F.lit(base)
                     + F.lit(1.0 - eps) * F.coalesce(F.col("mass"), F.lit(0.0))
                 ).alias("rank"),
+                "old_rank",
             )
+            .withColumn("dv", F.abs(F.col("rank") - F.col("old_rank")))
         )
-        joined = (
-            new_ranks
-            .join(ranks.withColumnRenamed("rank", "old_rank").hint("shuffle_hash"),
-                  "v")
-            .select("v", "rank", "dang",
-                    F.abs(F.col("rank") - F.col("old_rank")).alias("dv"))
-        )
+        # convergence delta + next step's dangling mass ride the write job
+        # as observed metrics — zero extra jobs (SURVEY.md §3.4)
+        obs = Observation(f"pi_step_{it}")
+        observed = joined.observe(
+            obs,
+            F.max("dv").alias("d"),
+            F.sum(F.when(F.col("dang"), F.col("rank"))).alias("m"),
+        ).select("v", "dang", "rank")
         if ckpt:
-            # parquet write = the step's ONE heavy job; manifest commits after
+            # parquet write = the step's ONE (and only) job; manifest commits after
             staged = ckpt.save_step(
-                it, {"state": joined},
+                it, {"state": observed},
                 {"deltas": deltas, "dangling_mass": m, "converged": False},
             )["state"]
         else:
-            staged = store.materialize(joined)
-        # ONE tiny aggregate returns the convergence delta AND the next
-        # step's dangling mass (SURVEY.md §3.4: one scalar action per step)
-        row = staged.agg(
-            F.max("dv").alias("d"),
-            F.sum(F.when(F.col("dang"), F.col("rank"))).alias("m"),
-        ).collect()[0]
+            staged = store.materialize(observed)
+        row = obs.get
         delta = row["d"]
         m = row["m"] or 0.0
         deltas.append(float(delta))
-        ranks = staged.select("v", "rank")
+        state = staged
         if ckpt:
             # re-commit manifest with the convergence metric (cheap, no data)
             ckpt.update_metrics(
@@ -202,11 +215,13 @@ def pagerank_power(
 
     contrib_edges.unpersist()
     vflag.unpersist()
+    ranks = state.select("v", "rank")
     if ckpt and it >= start_step and max_iters > start_step:
         store.close()  # final ranks read from the durable checkpoint dir
     else:
         # final ranks still scan the scratch slot: pin them and leave the
-        # scratch files in place as the recompute source
+        # scratch files in place as the recompute source (the store's
+        # scratch root is reclaimed at interpreter exit — state.py)
         ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
         ranks.count()
     info = {

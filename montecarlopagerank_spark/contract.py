@@ -104,6 +104,110 @@ FROM r{iters} r CROSS JOIN nn""")
     return "".join(parts)
 
 
+def _cc_sql(rounds: int = 12) -> str:
+    """Exact connected components in pure SQL: per round, every vertex's
+    label drops to min(own, neighbours') then pointer-jumps (lbl ← lbl of
+    lbl) — O(log diameter) rounds, unrolled as chained CTEs (a recursive
+    CTE would enumerate O(Σ|component|²) pairs). The histogram stabilizes
+    by round 16 on the sf0.001/sf0.01 transcript graphs (diameter ≈ max
+    conv length); rounds=20 leaves margin.
+    Output: component-size histogram, which is id-assignment-free — equal
+    for the engine's vid graph and this string-key twin.
+
+    Every CTE is MATERIALIZED: each l{r} is referenced 2-3 times per
+    round, so inlining would blow the expression tree (and DuckDB's file
+    handles) up exponentially in ``rounds``."""
+    mat = (
+        ("WITH " + SQL_TEDGES[1:])
+        .replace("turns AS (", "turns AS MATERIALIZED (")
+        .replace("chained AS (", "chained AS MATERIALIZED (")
+        .replace("tedges AS (", "tedges AS MATERIALIZED (")
+    )
+    parts = [
+        mat,
+        """,
+sym AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM (
+    SELECT src AS u, dst AS v FROM tedges WHERE src <> dst
+    UNION ALL
+    SELECT dst AS u, src AS v FROM tedges WHERE src <> dst
+  )
+),
+verts AS MATERIALIZED (
+  SELECT src AS v FROM tedges UNION SELECT dst FROM tedges
+),
+l0 AS MATERIALIZED (SELECT v, v AS lbl FROM verts)""",
+    ]
+    for r in range(rounds):
+        parts.append(f""",
+a{r} AS MATERIALIZED (
+  SELECT l.v, least(l.lbl, COALESCE(MIN(n.lbl), l.lbl)) AS lbl
+  FROM l{r} l
+  LEFT JOIN sym s ON s.u = l.v
+  LEFT JOIN l{r} n ON n.v = s.v
+  GROUP BY l.v, l.lbl
+),
+l{r + 1} AS MATERIALIZED (
+  SELECT a.v, b.lbl FROM a{r} a JOIN a{r} b ON a.lbl = b.v
+)""")
+    parts.append(f"""
+SELECT CAST(size AS BIGINT) AS size, COUNT(*) AS n_components
+FROM (SELECT lbl, COUNT(*) AS size FROM l{rounds} GROUP BY lbl)
+GROUP BY size""")
+    return "".join(parts)
+
+
+def _lpa_sql(rounds: int = 2) -> str:
+    """Synchronous LPA unrolled to exactly ``rounds`` supersteps: each
+    vertex adopts the most frequent neighbour label, ties broken by
+    minimum label — the exact relational twin of algos/labelprop.py
+    (string labels on both sides, so tie-break order is directly
+    comparable). Output: label community size histogram. CTEs are
+    MATERIALIZED for the same reason as _cc_sql."""
+    mat = (
+        ("WITH " + SQL_TEDGES[1:])
+        .replace("turns AS (", "turns AS MATERIALIZED (")
+        .replace("chained AS (", "chained AS MATERIALIZED (")
+        .replace("tedges AS (", "tedges AS MATERIALIZED (")
+    )
+    parts = [
+        mat,
+        """,
+sym AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM (
+    SELECT src AS u, dst AS v FROM tedges WHERE src <> dst
+    UNION ALL
+    SELECT dst AS u, src AS v FROM tedges WHERE src <> dst
+  )
+),
+verts AS MATERIALIZED (SELECT DISTINCT u AS v FROM sym),
+l0 AS MATERIALIZED (SELECT v, v AS lbl FROM verts)""",
+    ]
+    for r in range(rounds):
+        parts.append(f""",
+md{r} AS MATERIALIZED (
+  SELECT s.v AS v, l.lbl, COUNT(*) AS c
+  FROM sym s JOIN l{r} l ON l.v = s.u
+  GROUP BY s.v, l.lbl
+),
+pk{r} AS MATERIALIZED (
+  SELECT v, lbl FROM (
+    SELECT v, lbl,
+           ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, lbl ASC) AS rn
+    FROM md{r}
+  ) WHERE rn = 1
+),
+l{r + 1} AS MATERIALIZED (
+  SELECT l.v, COALESCE(p.lbl, l.lbl) AS lbl
+  FROM l{r} l LEFT JOIN pk{r} p ON p.v = l.v
+)""")
+    parts.append(f"""
+SELECT CAST(size AS BIGINT) AS size, COUNT(*) AS n_labels
+FROM (SELECT lbl, COUNT(*) AS size FROM l{rounds} GROUP BY lbl)
+GROUP BY size""")
+    return "".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # Spark-side helpers
 # ---------------------------------------------------------------------------
@@ -225,12 +329,15 @@ def q_pagerank_power_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pagerank_mc_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Monte Carlo PageRank, top 20 (rows-only: stochastic estimator)."""
+    """Monte Carlo PageRank, top 20 (rows-only: stochastic estimator).
+    edges_per_block is pinned so the recorded output is machine-independent
+    (the default derives block count from the cluster's core count)."""
     from montecarlopagerank_spark.algos.pagerank_mc import pagerank_monte_carlo
 
     edges, vertices, key = _vid_graph(spark, sf_dir)
     ranks, _ = pagerank_monte_carlo(
-        spark, edges, vertices, walks_per_vertex=10, iterations=10
+        spark, edges, vertices, walks_per_vertex=10, iterations=10,
+        edges_per_block=1 << 13,
     )
     top = ranks.orderBy(F.desc("rank"), F.asc("v")).limit(20)
     return top.join(key, top.v == key.vid).select(
@@ -238,24 +345,79 @@ def q_pagerank_mc_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mc_pi_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible MC quality signal (the reference's own validation
+    methodology, Project Paper/McPageRankSpark.tex:155-167): one row with
+    MC(K=50)-vs-converged-PI top-20 overlap and rank correlation. No SQL
+    twin (stochastic) — the VALUE is the check; tests pin the floor
+    (overlap ≥ 12/20, corr ≥ 0.9, tests/test_contract.py)."""
+    from montecarlopagerank_spark.algos.pagerank_mc import pagerank_monte_carlo
+    from montecarlopagerank_spark.algos.pagerank_power import pagerank_power
+
+    edges, vertices, _ = _vid_graph(spark, sf_dir)
+    pi, _info = pagerank_power(spark, edges, vertices, tol=1e-6, max_iters=120)
+    mc, _info2 = pagerank_monte_carlo(
+        spark, edges, vertices, walks_per_vertex=50, iterations=15,
+        edges_per_block=1 << 13,
+    )
+    top_pi = pi.orderBy(F.desc("rank"), F.asc("v")).limit(20).select("v")
+    top_mc = mc.orderBy(F.desc("rank"), F.asc("v")).limit(20).select("v")
+    overlap = top_pi.join(top_mc, "v").count()
+    corr = (
+        pi.withColumnRenamed("rank", "pi_rank")
+        .join(mc.withColumnRenamed("rank", "mc_rank"), "v")
+        .agg(F.corr("pi_rank", "mc_rank").alias("c"))
+        .collect()[0]["c"]
+    )
+    return spark.createDataFrame(
+        [(int(overlap), float(round(corr, 4)))],
+        "overlap_at_20 long, rank_corr double",
+    )
+
+
 def q_connected_components_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Component size histogram (rows-only: iterative fixpoint)."""
+    """Component size histogram — EXACT, hash-checked against a DuckDB
+    min-label/pointer-jumping twin (the histogram is label- and
+    id-assignment-free, so the vid-graph result equals the string-key
+    oracle's on the isomorphic graph)."""
     from montecarlopagerank_spark.algos.components import connected_components
 
     edges, vertices, key = _vid_graph(spark, sf_dir)
     cc = connected_components(spark, edges, vertices)
     sizes = cc.groupBy("component").agg(F.count("*").alias("size"))
-    return sizes.groupBy("size").agg(F.count("*").alias("n_components"))
+    return (
+        sizes.groupBy("size")
+        .agg(F.count("*").alias("n_components"))
+        .select(F.col("size").cast("long").alias("size"), "n_components")
+    )
 
 
 def q_label_propagation_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Label community size histogram (rows-only)."""
+    """Label community size histogram after ≤10 rounds (rows-only: the
+    round-count at early convergence has no cheap SQL twin; the exact
+    2-round twin is label_propagation_fixed2)."""
     from montecarlopagerank_spark.algos.labelprop import label_propagation
 
     edges, vertices, key = _vid_graph(spark, sf_dir)
     lp = label_propagation(spark, edges, vertices, max_iters=10)
     sizes = lp.groupBy("label").agg(F.count("*").alias("size"))
     return sizes.groupBy("size").agg(F.count("*").alias("n_labels"))
+
+
+def q_label_propagation_fixed2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 2 synchronous LPA rounds over the STRING-keyed edges (so
+    tie-breaking order is directly comparable to the SQL twin — no
+    vid-order isomorphism argument needed). Hash-checked vs DuckDB."""
+    from montecarlopagerank_spark.algos.labelprop import label_propagation
+
+    e = _string_edges(spark, sf_dir).select("src", "dst")
+    lp = label_propagation(spark, e, max_iters=2)
+    sizes = lp.groupBy("label").agg(F.count("*").alias("size"))
+    return (
+        sizes.groupBy("size")
+        .agg(F.count("*").alias("n_labels"))
+        .select(F.col("size").cast("long").alias("size"), "n_labels")
+    )
 
 
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -346,10 +508,13 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_hamming=7 with the default 8 bands of 8 bits: pigeonhole
+    guarantees every qualifying pair shares a band (recall = 1.0 by
+    construction, pinned in tests/test_pipeline.py)."""
     from montecarlopagerank_spark.pipeline.dedup import simhash_near_dupes
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_near_dupes(docs, max_hamming=8)
+    return simhash_near_dupes(docs, max_hamming=7)
 
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -410,8 +575,10 @@ QUERIES = {
     "pagerank_power_fixed": q_pagerank_power_fixed,
     "pagerank_power_top20": q_pagerank_power_top20,
     "pagerank_mc_top20": q_pagerank_mc_top20,
+    "mc_pi_agreement": q_mc_pi_agreement,
     "connected_components_sizes": q_connected_components_sizes,
     "label_propagation_sizes": q_label_propagation_sizes,
+    "label_propagation_fixed2": q_label_propagation_fixed2,
     "triangle_count": q_triangle_count,
     "token_stats": q_token_stats,
     "quality_score": q_quality_score,
@@ -470,6 +637,8 @@ FROM verts LEFT JOIN outd ON verts.v = outd.v LEFT JOIN ind ON verts.v = ind.v
 ORDER BY in_deg DESC, verts.v ASC LIMIT 20
 """,
     "pagerank_power_fixed": _pi_sql(5),
+    "connected_components_sizes": _cc_sql(24),
+    "label_propagation_fixed2": _lpa_sql(2),
     "triangle_count": f"""
 WITH {SQL_TEDGES[1:]},
 und AS (

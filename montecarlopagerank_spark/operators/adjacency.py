@@ -35,6 +35,12 @@ CSR_BLOCK_SCHEMA = (
     "block_id int, vids array<long>, indptr array<long>, indices array<long>"
 )
 
+# replica id lives in the low bits of the CSR row key: rkey = v << 20 | r.
+# 2^20 replicas bounds a single hub at edges_per_block * 2^20 out-edges
+# (≥ 2^40 at the smallest sane block size); vids stay < 2^43 — fine for
+# dense dictionary-assigned ids.
+REPLICA_BITS = 20
+
 
 def build_adjacency(edges: DataFrame, vertices: DataFrame | None = None) -> DataFrame:
     """``edges(src,dst)`` → ``adj(src, neighbours sorted, deg)``; when
@@ -97,6 +103,129 @@ def assign_blocks(
     return pre.select(
         "v", (F.col("prefix") / F.lit(edges_per_block)).cast("int").alias("block_id")
     )
+
+
+def plan_walk_blocks(
+    edges: DataFrame, edges_per_block: int = 1 << 20, coarse: int = 1 << 16
+) -> tuple[DataFrame, DataFrame, dict]:
+    """Degree-aware block plan WITH hub-vertex splitting (north_star:
+    "hub vertices split across ≥2 blocks, partial-aggregated then
+    re-reduced").
+
+    Any vertex with out_deg > edges_per_block is split into
+    R = ceil(out_deg / edges_per_block) *replicas*; each out-edge is
+    assigned to replica pmod(xxhash64(dst), R), so replicas carry disjoint
+    neighbour subsets of ≈equal size and no single Arrow task ever holds
+    more than ~edges_per_block edges of one hub. Replicas are addressed by
+    ``rkey = v << REPLICA_BITS | replica`` and packed into blocks by
+    cumulative edge count exactly like unsplit vertices.
+
+    Returns ``(blocks_assign, csr_blocks, meta)``:
+
+    * ``blocks_assign(v, replica, rkey, rsize, n_rep, block_id)`` — one row
+      per replica. Walk drivers route a vertex's coupons to its replicas
+      with an exact multinomial split ∝ rsize (see pagerank_mc), so the
+      per-destination distribution stays exactly uniform over out-edges:
+      P(dst) = (rsize/deg) · (1/rsize) = 1/deg.
+    * ``csr_blocks(block_id, vids=rkeys, indptr, indices)`` — CSR rows keyed
+      by rkey. Totals are exact because the multinomial split conserves
+      coupon counts (the "partial-aggregated then re-reduced" step is the
+      ordinary groupBy(dst) coalescing downstream of the kernel).
+    * ``meta = {"has_hubs": bool, "max_out_deg": int}``.
+
+    Fast path: when max(out_deg) ≤ edges_per_block (no hubs — the common
+    case once blocks are sized for the cluster), the per-edge replica
+    assignment, recount, and per-vertex window are skipped entirely; the
+    plan is one groupBy + the prefix-sum + one src-keyed join, and the
+    one-row max() aggregate that picks the path is the only extra job.
+    """
+    out_deg = edges.groupBy(F.col("src").alias("v")).agg(
+        F.count("*").alias("out_deg")
+    )
+    max_deg = out_deg.agg(F.max("out_deg")).collect()[0][0] or 0
+    has_hubs = max_deg > edges_per_block
+
+    if not has_hubs:
+        replicas = out_deg.select(
+            "v",
+            F.lit(0).alias("replica"),
+            F.shiftleft(F.col("v"), REPLICA_BITS).alias("rkey"),
+            F.col("out_deg").alias("rsize"),
+            F.lit(1).alias("n_rep"),
+        )
+    else:
+        nrep = out_deg.select(
+            "v",
+            F.when(
+                F.col("out_deg") > edges_per_block,
+                F.ceil(F.col("out_deg") / edges_per_block).cast("int"),
+            )
+            .otherwise(F.lit(1))
+            .alias("n_rep"),
+        )
+        edge_rep = edges.join(nrep.withColumnRenamed("v", "src"), "src").select(
+            "src",
+            "dst",
+            F.when(
+                F.col("n_rep") > 1,
+                F.pmod(F.xxhash64("dst", F.lit(7)), F.col("n_rep")).cast("int"),
+            )
+            .otherwise(F.lit(0))
+            .alias("replica"),
+        )
+        # actual replica sizes (hash assignment → recount; empty replicas
+        # never materialize and get no coupons routed)
+        rsizes = edge_rep.groupBy(F.col("src").alias("v"), "replica").agg(
+            F.count("*").alias("rsize")
+        )
+        w_rep = Window.partitionBy("v")
+        replicas = rsizes.withColumn(
+            "n_rep", F.count("*").over(w_rep).cast("int")
+        ).withColumn(
+            "rkey",
+            F.shiftleft(F.col("v"), REPLICA_BITS) + F.col("replica"),
+        )
+
+    weighted = replicas.select(
+        "v", "replica", "rkey", "rsize", "n_rep",
+        (F.col("rsize") + F.lit(1)).alias("w"),
+    )
+    pre = _prefix_offsets(weighted, "rkey", "w", coarse * (1 << REPLICA_BITS))
+    blocks_assign = pre.select(
+        "v", "replica", "rkey", "rsize", "n_rep",
+        (F.col("prefix") / F.lit(edges_per_block)).cast("int").alias("block_id"),
+    )
+
+    if not has_hubs:
+        joined = edges.join(
+            blocks_assign.select(F.col("v").alias("src"), "rkey", "block_id"),
+            "src",
+        ).select("block_id", "rkey", "dst")
+    else:
+        joined = edge_rep.join(
+            blocks_assign.select(
+                F.col("v").alias("src"), "replica", "rkey", "block_id"
+            ),
+            ["src", "replica"],
+        ).select("block_id", "rkey", "dst")
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["rkey", "dst"], kind="mergesort")
+        rkeys = pdf["rkey"].to_numpy(dtype=np.int64)
+        indices = pdf["dst"].to_numpy(dtype=np.int64)
+        vids, counts = np.unique(rkeys, return_counts=True)
+        indptr = np.concatenate(([0], np.cumsum(counts)))
+        return pd.DataFrame(
+            {
+                "block_id": [int(pdf["block_id"].iloc[0])],
+                "vids": [vids],
+                "indptr": [indptr],
+                "indices": [indices],
+            }
+        )
+
+    csr = joined.groupBy("block_id").applyInPandas(pack, schema=CSR_BLOCK_SCHEMA)
+    return blocks_assign, csr, {"has_hubs": has_hubs, "max_out_deg": int(max_deg)}
 
 
 def build_csr_blocks_from_edges(

@@ -21,11 +21,27 @@ scratch variant for runs that don't need resumability.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+
+# scratch roots pending cleanup: results returned to callers may still scan
+# their scratch slot (the recompute source for a persisted-but-evicted
+# DataFrame), so owned roots that are never close()d are reclaimed at
+# interpreter exit instead of leaking one mkdtemp per algorithm invocation
+_SCRATCH_ROOTS: set[str] = set()
+
+
+def _cleanup_scratch() -> None:
+    for root in list(_SCRATCH_ROOTS):
+        shutil.rmtree(root, ignore_errors=True)
+    _SCRATCH_ROOTS.clear()
+
+
+atexit.register(_cleanup_scratch)
 
 
 class StateStore:
@@ -33,6 +49,8 @@ class StateStore:
         self.spark = spark
         self._own = root is None
         self.root = root or tempfile.mkdtemp(prefix="mcpr_state_")
+        if self._own:
+            _SCRATCH_ROOTS.add(self.root)
         self._seq: dict[str, int] = {}
 
     def materialize(self, df: DataFrame, name: str = "state") -> DataFrame:
@@ -47,3 +65,4 @@ class StateStore:
     def close(self) -> None:
         if self._own:
             shutil.rmtree(self.root, ignore_errors=True)
+            _SCRATCH_ROOTS.discard(self.root)

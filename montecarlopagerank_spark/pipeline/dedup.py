@@ -23,10 +23,14 @@ projections. Nothing here collects to the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import logging
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from montecarlopagerank_spark.pipeline.textstats import normalized_text
+
+log = logging.getLogger(__name__)
 
 
 # ---------------------------------------------------------------- exact
@@ -91,11 +95,23 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs (a < b) sharing ≥1
     band bucket. Self-join per (band, bucket-hash); bucket key is a hash of
-    the band slice so the shuffle key is a fixed-width long."""
+    the band slice so the shuffle key is a fixed-width long.
+
+    ``max_bucket_size`` caps the per-bucket self-join fan-out: a bucket of
+    c docs emits c² join rows, so a cluster of c near-identical documents
+    otherwise costs bands·c² rows (the classic 100 TB LSH blowup). Buckets
+    larger than the cap are dropped from candidate generation — compose
+    with ``exact_dedup`` (see ``minhash_dedup_pairs``) so byte-identical
+    clusters never reach LSH, and use ``lsh_bucket_profile`` to audit what
+    a cap would drop. The cap is never silent: callers of
+    ``minhash_dedup_pairs`` get a log line stating the cap in force."""
     banded = signatures.select(
         "doc_id",
         F.posexplode(
@@ -105,6 +121,14 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "bucket"),
     )
+    if max_bucket_size is not None:
+        # rides the same (band, bucket) shuffle the self-join needs
+        w = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("bsz", F.count("*").over(w))
+            .filter(F.col("bsz") <= max_bucket_size)
+            .drop("bsz")
+        )
     left = banded.select(
         F.col("band"), F.col("bucket"), F.col("doc_id").alias("a")
     )
@@ -119,6 +143,29 @@ def minhash_lsh_candidates(
     )
 
 
+def lsh_bucket_profile(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """``(band, bucket, size)`` for auditing LSH bucket skew / choosing a
+    ``max_bucket_size`` cap ("no silent caps": run this to see exactly
+    which buckets a cap would drop and how many docs they hold)."""
+    return (
+        signatures.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.hash(
+                        F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                    ),
+                )
+            ).alias("band", "bucket"),
+        )
+        .groupBy("band", "bucket")
+        .agg(F.count("*").alias("size"))
+    )
+
+
 def minhash_dedup_pairs(
     docs: DataFrame,
     num_hashes: int = 64,
@@ -126,12 +173,38 @@ def minhash_dedup_pairs(
     bands: int = 16,
     rows_per_band: int = 4,
     jaccard_threshold: float = 0.8,
+    dedup_exact_first: bool = True,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """End-to-end near-dup pairs ``(a, b, jaccard)``: LSH candidates
     verified with exact shingle Jaccard (array_intersect/array_union on the
-    distinct shingle sets)."""
+    distinct shingle sets).
+
+    Scale guards against the bands·c² candidate blowup on clusters of c
+    (near-)identical documents (real corpora run 20-40% exact dupes):
+
+    * ``dedup_exact_first`` (default) collapses byte-identical groups to
+      their min-doc_id representative before LSH, so exact-copy clusters
+      contribute ONE doc each. Returned pairs are between representatives;
+      the full duplicate closure = ``exact_dedup`` groups ∪ these pairs
+      (every member of group g is a near-dup of whatever its
+      representative pairs with — Jaccard is invariant under identical
+      text).
+    * ``max_bucket_size`` drops pathological buckets that still exceed the
+      cap (e.g. boilerplate-template clusters that differ in a few bytes).
+      Never silent: logged here, auditable via ``lsh_bucket_profile``.
+    """
+    if dedup_exact_first:
+        reps = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+        docs = docs.join(reps, "doc_id")
+    if max_bucket_size is not None:
+        log.info(
+            "minhash_dedup_pairs: LSH buckets with more than %d docs are "
+            "dropped from candidate generation (audit with lsh_bucket_profile)",
+            max_bucket_size,
+        )
     sigs = minhash_signatures(docs, num_hashes, shingle_n)
-    cands = minhash_lsh_candidates(sigs, bands, rows_per_band)
+    cands = minhash_lsh_candidates(sigs, bands, rows_per_band, max_bucket_size)
     sh = shingle_sets(docs, shingle_n)
     a_sh = sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a"))
     b_sh = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b"))
@@ -194,13 +267,27 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
 
 def simhash_near_dupes(
     docs: DataFrame,
-    max_hamming: int = 3,
-    bands: int = 4,
+    max_hamming: int = 7,
+    bands: int | None = None,
     bits: int = 64,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: block on ``bands`` 16-bit chunks (a pair
-    within Hamming ≤ bands−1 must agree on ≥1 chunk — pigeonhole), then
-    verify ``bit_count(a XOR b) ≤ max_hamming``."""
+    """Near-dup pairs by SimHash: block on ``bands`` equal bit chunks (a
+    pair within Hamming ≤ bands−1 must agree on ≥1 chunk — pigeonhole),
+    then verify ``bit_count(a XOR b) ≤ max_hamming``.
+
+    ``bands`` defaults to the smallest divisor of ``bits`` that is
+    > ``max_hamming``, so the pigeonhole guarantee always covers the
+    requested threshold (recall = 1.0 by construction, pinned by
+    tests/test_pipeline.py::test_simhash_recall_guarantee). Passing an
+    explicit ``bands`` ≤ ``max_hamming`` raises rather than silently
+    missing pairs whose differing bits spread across every chunk."""
+    if bands is None:
+        bands = next(b for b in range(max_hamming + 1, bits + 1) if bits % b == 0)
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands={bands} cannot guarantee recall at max_hamming={max_hamming}: "
+            f"need bands > max_hamming (pigeonhole)"
+        )
     sigs = simhash(docs, bits)
     chunk = bits // bands
     chunks = F.array(

@@ -114,7 +114,7 @@ def normalized_text(text: Column) -> Column:
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprints: md5 of normalized text (exact-dup key, and
     the one hash both Spark and DuckDB compute identically) plus a rolling
-    polynomial token hash (mod 2^61-1, order-sensitive — catches
+    polynomial token hash (mod 2^31-1, order-sensitive — catches
     reorderings md5-of-normalized would too, but is incrementally
     computable at ingest)."""
     toks = _tokens(normalized_text(F.col("text")))

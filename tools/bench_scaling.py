@@ -122,6 +122,34 @@ def run_level(cores: int, args) -> dict:
     )
 
 
+TIME_KEYS = [
+    "pi_secs", "pi_loop_secs", "pi_setup_secs",
+    "mc_secs", "mc_loop_secs", "mc_setup_secs",
+]
+
+
+def merge_best(runs: list[dict], pi_steps: int) -> dict:
+    """Best-of-N per timing metric (interleaved repeats defend the
+    efficiency ratio against host noise — a single slow window would
+    otherwise poison one level and fake/hide a scaling gap). Output
+    checksums must be identical across repeats (determinism)."""
+    for r in runs[1:]:
+        assert r["pi_check"] == runs[0]["pi_check"], "PI output drifted"
+        assert r["mc_check"] == runs[0]["mc_check"], "MC output drifted"
+    best = dict(runs[0])
+    for k in TIME_KEYS:
+        best[k] = min(r[k] for r in runs)
+    best["pi_eps"] = round(best["edges"] * pi_steps / best["pi_secs"], 1)
+    best["pi_loop_eps"] = round(
+        best["edges"] * pi_steps / best["pi_loop_secs"], 1)
+    best["mc_eps"] = round(
+        best["edges"] * best["mc_steps"] / best["mc_secs"], 1)
+    best["mc_loop_eps"] = round(
+        best["edges"] * best["mc_steps"] / best["mc_loop_secs"], 1)
+    best["n_repeats"] = len(runs)
+    return best
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--edges", type=int, default=20_000_000)
@@ -131,12 +159,20 @@ def main() -> None:
     ap.add_argument("--mc-steps", type=int, default=6)
     ap.add_argument("--mc-walks", type=int, default=16)
     ap.add_argument("--avg-degree", type=int, default=16)
+    ap.add_argument("--repeat", type=int, default=2,
+                    help="interleaved repeats per level; best-of is kept")
     ap.add_argument("--timeout", type=int, default=3600)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "scaling.json"))
     args = ap.parse_args()
 
-    low = run_level(args.n_low, args)
-    high = run_level(args.n_high, args)
+    lows, highs = [], []
+    for i in range(args.repeat):  # interleave L,H,L,H…
+        lows.append(run_level(args.n_low, args))
+        highs.append(run_level(args.n_high, args))
+        print(f"repeat {i}: low pi={lows[-1]['pi_secs']}s mc={lows[-1]['mc_secs']}s"
+              f" | high pi={highs[-1]['pi_secs']}s mc={highs[-1]['mc_secs']}s")
+    low = merge_best(lows, args.pi_steps)
+    high = merge_best(highs, args.pi_steps)
     factor = args.n_high / args.n_low
     report = {
         "edges": low["edges"],
