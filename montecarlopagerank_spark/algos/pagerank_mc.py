@@ -22,14 +22,28 @@ vertex (the reference's ``0 to currentCount`` inclusive loop inflates by
 one trial per occupied vertex per step) and exactly ``iterations``
 supersteps.
 
-Scale shape — each superstep runs EXACTLY ONE Spark job: the coupon-state
-write, with the surviving-walk total riding along as an observed metric
-(extinction check without a separate ``isEmpty`` job). ζ is NOT
-re-aggregated per step (the reference's ``union+reduceByKey`` over the
-full visit history, MonteCarloPageRank.scala:122, doubles per-step shuffle
-volume); instead each step's arrivals are already materialized as that
-step's coupon table, and ζ = groupBy-sum over the union of all step
-tables exactly once at the end.
+Scale shape — each superstep runs EXACTLY ONE Spark job of THREE stages:
+
+1. coupon scan + **expression block routing** + exchange by block_id.
+   CSR blocks pack contiguous rkey ranges (operators/adjacency.py), so a
+   coupon's block is a pure chained-comparison expression over the block
+   boundaries — no routing-table join, no second exchange (a measured
+   6 s/step of interpreted lookup CPU at 20M edges before this design);
+2. cogroup(routed, CSR) walk kernel. The CSR cache is persisted ALREADY
+   hash-partitioned by block_id, so the loop never re-shuffles the graph
+   (measured 103 MB/step of CSR re-exchange before). The kernel is
+   ``applyInArrow`` — list columns are unwrapped zero-copy into numpy,
+   never through pandas object arrays — with int32 neighbour ids when the
+   vertex space fits (halves the per-step Arrow volume);
+3. final groupBy(dst) coalescing + state write, with the surviving-walk
+   total riding the write as an observed metric (extinction check without
+   a separate ``isEmpty`` job).
+
+ζ is NOT re-aggregated per step (the reference's ``union+reduceByKey``
+over the full visit history, MonteCarloPageRank.scala:122, doubles
+per-step shuffle volume); each step's arrivals are already materialized
+as that step's coupon table, and ζ = one groupBy-sum over the union of
+all step tables at the end.
 
 Skew (north_star "hub vertices split across ≥2 blocks"): the block plan
 (operators/adjacency.py::plan_walk_blocks) splits any vertex whose
@@ -39,6 +53,8 @@ exact multinomial draw ∝ replica size (seeded per (seed, step, v) — a
 tiny Arrow kernel over hub rows only), each replica walks its slice
 uniformly, and the ordinary groupBy(dst) coalescing re-reduces the
 partials — so totals are conserved exactly and P(dst) = 1/deg exactly.
+Hub coupons are peeled off the expression-routing path with a literal
+``isin`` filter (hub ids are known at plan time and few by definition).
 
 Randomness is **parallelism-invariant**: one ``numpy.random.Generator``
 per (seed, block_id, superstep) — a stable *logical* block id, not the
@@ -62,52 +78,96 @@ from typing import Any
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Observation, SparkSession
+import pyarrow as pa
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from montecarlopagerank_spark.operators.adjacency import plan_walk_blocks
+from montecarlopagerank_spark.operators.adjacency import (
+    REPLICA_BITS,
+    plan_walk_blocks,
+)
 from montecarlopagerank_spark.operators.checkpoint import CheckpointManager
 from montecarlopagerank_spark.operators.state import StateStore
 
 EPS = 0.15
 
+# above this many blocks a chained-WHEN routing expression stops being
+# codegen-friendly; fall back to an interpreted array fold (O(B) per row
+# either way, but the WHEN chain compiles to straight-line comparisons)
+MAX_CHAINED_BOUNDS = 512
+
+
+def route_expr(rkey_col: Column, bounds: list[int]) -> Column:
+    """block_id for a coupon rkey: the number of block boundaries ≤ rkey,
+    minus one. Blocks pack contiguous rkey ranges (plan_walk_blocks), so
+    this single expression replaces the routing-table join — the routing
+    stage is a narrow map over the coupon scan."""
+    inner = bounds[1:]
+    if not inner:
+        return F.lit(0)
+    if len(inner) <= MAX_CHAINED_BOUNDS:
+        expr = F.lit(len(inner))
+        for i in range(len(inner) - 1, -1, -1):
+            expr = F.when(rkey_col < F.lit(inner[i]), F.lit(i)).otherwise(expr)
+        return expr.cast("int")
+    return F.aggregate(
+        F.lit(inner),
+        F.lit(0),
+        lambda acc, b: acc + F.when(rkey_col >= b, 1).otherwise(0),
+    ).cast("int")
+
 
 def _walk_kernel(eps: float, seed: int, step: int):
-    """Cogrouped-map kernel: (CSR block row, routed coupons in block) →
+    """Cogrouped Arrow kernel: (routed coupons in block, CSR block row) →
     coalesced arrivals (dst, cnt). Deterministic in (seed, block_id, step).
-    Coupons are keyed by rkey (= v << REPLICA_BITS | replica) matching the
-    block's CSR row keys."""
+    Coupons are keyed by rkey (= v << REPLICA_BITS | replica); rkeys not
+    present in the block's CSR rows (dangling vertices routed here by the
+    pure-expression router) contribute nothing — their walks die, which is
+    the reference's dangling semantics (MonteCarloPageRank.scala:73)."""
 
-    def kernel(coupons_pdf: pd.DataFrame, blocks_pdf: pd.DataFrame) -> pd.DataFrame:
-        # cogroup order: left = routed coupons, right = CSR blocks
-        if blocks_pdf.empty or coupons_pdf.empty:
-            return pd.DataFrame({"dst": pd.Series([], dtype="int64"),
-                                 "cnt": pd.Series([], dtype="int64")})
-        block_id = int(blocks_pdf["block_id"].iloc[0])
-        vids = np.asarray(blocks_pdf["vids"].iloc[0], dtype=np.int64)
-        indptr = np.asarray(blocks_pdf["indptr"].iloc[0], dtype=np.int64)
-        indices = np.asarray(blocks_pdf["indices"].iloc[0], dtype=np.int64)
+    def kernel(coupons_t: pa.Table, blocks_t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"dst": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+        )
+        if blocks_t.num_rows == 0 or coupons_t.num_rows == 0:
+            return empty
+        block_id = int(blocks_t.column("block_id")[0].as_py())
+        vids = blocks_t.column("vids").combine_chunks().values.to_numpy(
+            zero_copy_only=False
+        )
+        indptr = blocks_t.column("indptr").combine_chunks().values.to_numpy(
+            zero_copy_only=False
+        )
+        indices = blocks_t.column("indices").combine_chunks().values.to_numpy(
+            zero_copy_only=False
+        )
+        rk = coupons_t.column("rkey").to_numpy(zero_copy_only=False)
+        c = coupons_t.column("c").to_numpy(zero_copy_only=False)
+        order = np.argsort(rk)  # rkeys unique per block → total order
+        rk = rk[order]
+        c = c[order]
+        loc = np.searchsorted(vids, rk)
+        locc = np.minimum(loc, max(len(vids) - 1, 0))
+        valid = vids[locc] == rk if len(vids) else np.zeros(len(rk), dtype=bool)
+        k = np.where(valid, indptr[locc + 1] - indptr[locc], 0)
 
         rng = np.random.default_rng(np.random.SeedSequence([seed, block_id, step]))
-        # align coupons to CSR rows (coupons are a subset of block rkeys)
-        order = np.argsort(coupons_pdf["rkey"].to_numpy())  # determinism
-        rk = coupons_pdf["rkey"].to_numpy(dtype=np.int64)[order]
-        c = coupons_pdf["c"].to_numpy(dtype=np.int64)[order]
-        loc = np.searchsorted(vids, rk)
-        k = indptr[loc + 1] - indptr[loc]  # out-degrees (replica slice sizes)
-
         survivors = rng.binomial(c, 1.0 - eps)  # exactly c trials, not c+1
         survivors = np.where(k > 0, survivors, 0)  # dangling walks die
         total = int(survivors.sum())
         if total == 0:
-            return pd.DataFrame({"dst": pd.Series([], dtype="int64"),
-                                 "cnt": pd.Series([], dtype="int64")})
-        starts = np.repeat(indptr[loc], survivors)
+            return empty
+        starts = np.repeat(indptr[locc], survivors)
         lens = np.repeat(k, survivors)
         dest = indices[starts + (rng.random(total) * lens).astype(np.int64)]
         dst, cnt = np.unique(dest, return_counts=True)  # per-block coalescing
-        return pd.DataFrame({"dst": dst, "cnt": cnt.astype(np.int64)})
+        return pa.table(
+            {
+                "dst": pa.array(dst.astype(np.int64), pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
 
     return kernel
 
@@ -161,6 +221,7 @@ def pagerank_monte_carlo(
     outputs must be identical across different clusters."""
     t_setup = time.time()
     K = max(walks_per_vertex, 1)  # MonteCarloPageRank.scala:101
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     verts = (
         vertices.select(F.col("vid").alias("v"))
         if vertices is not None
@@ -175,12 +236,23 @@ def pagerank_monte_carlo(
     blocks_assign, csr, plan_meta = plan_walk_blocks(
         edges, edges_per_block=edges_per_block
     )
-    blocks_assign = blocks_assign.persist(StorageLevel.MEMORY_AND_DISK)
-    csr = csr.persist(StorageLevel.MEMORY_AND_DISK)
-    csr.count()  # materialize the loop-invariant structure once
-    # hub replicas only exist for out_deg > edges_per_block vertices; the
-    # routing kernel is skipped entirely when the graph has none
+    # persist the loop-invariant CSR already hash-partitioned by the
+    # cogroup key: the walk loop then never re-shuffles the graph
+    csr = csr.repartition(n_parts, "block_id").persist(StorageLevel.MEMORY_AND_DISK)
+    csr.count()  # materialize once, in setup not step 0
+    bounds = plan_meta["bounds"]
     has_hubs = plan_meta["has_hubs"]
+    if has_hubs:
+        # hub replicas are few by definition (out_deg > edges_per_block);
+        # their ids become a literal filter and their replica table a
+        # broadcast — nothing hub-related ever shuffles
+        hub_reps = blocks_assign.filter("n_rep > 1").select(
+            "v", "block_id", "rkey", "rsize"
+        )
+        hub_reps = hub_reps.persist(StorageLevel.MEMORY_AND_DISK)
+        hub_ids = sorted({r["v"] for r in hub_reps.select("v").distinct().collect()})
+    else:
+        hub_reps, hub_ids = None, []
 
     ckpt = None
     store = StateStore(spark)  # flat per-superstep materializer (state.py)
@@ -215,13 +287,21 @@ def pagerank_monte_carlo(
     steps_run = start_step
     t_loop = time.time()
     for step in range(start_step, iterations):
-        # route coupons to CSR row keys; shuffle_hash: blocks_assign is
-        # O(n) — broadcasting it per step would serialize on the driver
-        joined = coupons.join(blocks_assign.hint("shuffle_hash"), "v")
-        routed = joined.filter("n_rep = 1").select("block_id", "rkey", "c")
+        # narrow expression routing: coupon → (block_id, rkey) with zero
+        # joins; hub coupons peel off to the multinomial splitter
+        rkey = F.shiftleft(F.col("v"), REPLICA_BITS)
+        base = coupons
+        if has_hubs:
+            base = coupons.filter(~F.col("v").isin(hub_ids))
+        routed = base.select(
+            route_expr(rkey, bounds).alias("block_id"),
+            rkey.alias("rkey"),
+            "c",
+        )
         if has_hubs:
             split = (
-                joined.filter("n_rep > 1")
+                coupons.filter(F.col("v").isin(hub_ids))
+                .join(F.broadcast(hub_reps), "v")
                 .select("v", "block_id", "rkey", "rsize", "c")
                 .groupBy("v")
                 .applyInPandas(
@@ -232,7 +312,7 @@ def pagerank_monte_carlo(
         moved = (
             routed.groupby("block_id")
             .cogroup(csr.groupby("block_id"))
-            .applyInPandas(_walk_kernel(eps, seed, step), schema="dst long, cnt long")
+            .applyInArrow(_walk_kernel(eps, seed, step), schema="dst long, cnt long")
         )
         # global coalescing: partial+final hash agg (reference reduceByKey
         # :119) — this is also the re-reduce of hub-replica partials
@@ -271,7 +351,6 @@ def pagerank_monte_carlo(
     )
     total = obs_total.get["t"]
     if total is None:  # empty graph: no vertices at all
-        blocks_assign.unpersist()
         csr.unpersist()
         verts.unpersist()
         empty = spark.createDataFrame([], "v long, rank double")
@@ -284,13 +363,15 @@ def pagerank_monte_carlo(
     ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
     ranks.count()  # pin; the scratch root (ranks' recompute source) is
     # reclaimed at interpreter exit (state.py atexit registry)
-    blocks_assign.unpersist()
     csr.unpersist()
     verts.unpersist()
+    if hub_reps is not None:
+        hub_reps.unpersist()
     info = {
         "iterations": steps_run, "K": K, "seed": seed,
         "total_visits": int(total), "eps": eps,
         "has_hub_splits": bool(has_hubs),
+        "n_blocks": len(bounds),
         "setup_secs": round(t_loop - t_setup, 3),
         "loop_secs": round(t_loop_end - t_loop, 3),
     }

@@ -96,6 +96,8 @@ def pagerank_power(
     vflag = deg.select("v", (F.col("out_deg") == 0).alias("dang")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    contrib_edges.count()  # materialize the loop-invariant cache in setup,
+    # not inside step 0's job (keeps per-step times honest and steady)
     crow = vflag.agg(  # one setup job for both counts
         F.count("*").alias("n"),
         F.sum(F.when(F.col("dang"), 1).otherwise(0)).alias("nd"),

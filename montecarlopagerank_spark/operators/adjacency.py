@@ -28,11 +28,17 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 CSR_BLOCK_SCHEMA = (
     "block_id int, vids array<long>, indptr array<long>, indices array<long>"
+)
+# walk blocks carry int32 neighbour ids when the vertex space fits — halves
+# the Arrow volume shipped into the walk kernel every superstep
+CSR_BLOCK_SCHEMA_I32 = (
+    "block_id int, vids array<long>, indptr array<long>, indices array<int>"
 )
 
 # replica id lives in the low bits of the CSR row key: rkey = v << 20 | r.
@@ -209,23 +215,62 @@ def plan_walk_blocks(
             ["src", "replica"],
         ).select("block_id", "rkey", "dst")
 
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["rkey", "dst"], kind="mergesort")
-        rkeys = pdf["rkey"].to_numpy(dtype=np.int64)
-        indices = pdf["dst"].to_numpy(dtype=np.int64)
+    # int32 neighbour ids when the id space fits (dense dictionary ids
+    # always do until ~2.1B vertices); halves per-superstep Arrow volume
+    max_id = edges.agg(F.max("dst").alias("d"), F.max("src").alias("s")).collect()[0]
+    use_i32 = (max_id["d"] or 0) < (1 << 31) and (max_id["s"] or 0) < (1 << 31)
+    idx_np = np.int32 if use_i32 else np.int64
+    idx_pa = pa.int32() if use_i32 else pa.int64()
+
+    def pack(tbl: pa.Table) -> pa.Table:
+        # Arrow-native pack: zero pandas, list columns built straight from
+        # offset/value buffers
+        rkeys = tbl.column("rkey").to_numpy(zero_copy_only=False)
+        dsts = tbl.column("dst").to_numpy(zero_copy_only=False)
+        order = np.lexsort((dsts, rkeys))
+        rkeys = rkeys[order]
+        indices = dsts[order].astype(idx_np)
         vids, counts = np.unique(rkeys, return_counts=True)
         indptr = np.concatenate(([0], np.cumsum(counts)))
-        return pd.DataFrame(
+        bid = int(tbl.column("block_id")[0].as_py())
+
+        def one_list(values: np.ndarray, typ) -> pa.ListArray:
+            return pa.ListArray.from_arrays(
+                pa.array([0, len(values)], pa.int32()), pa.array(values, typ)
+            )
+
+        return pa.table(
             {
-                "block_id": [int(pdf["block_id"].iloc[0])],
-                "vids": [vids],
-                "indptr": [indptr],
-                "indices": [indices],
+                "block_id": pa.array([bid], pa.int32()),
+                "vids": one_list(vids, pa.int64()),
+                "indptr": one_list(indptr, pa.int64()),
+                "indices": one_list(indices, idx_pa),
             }
         )
 
-    csr = joined.groupBy("block_id").applyInPandas(pack, schema=CSR_BLOCK_SCHEMA)
-    return blocks_assign, csr, {"has_hubs": has_hubs, "max_out_deg": int(max_deg)}
+    schema = CSR_BLOCK_SCHEMA_I32 if use_i32 else CSR_BLOCK_SCHEMA
+    csr = joined.groupBy("block_id").applyInArrow(pack, schema=schema)
+    # block boundaries: blocks pack CONTIGUOUS rkey ranges (block_id is a
+    # monotone step function of rkey by construction of the prefix sum), so
+    # the per-superstep coupon→block routing is a pure expression over these
+    # boundaries (see pagerank_mc.route_expr) — no routing-table join and no
+    # extra shuffle per step. One small collect at plan time; the boundary
+    # count is the block count (sized ~2-3x total cores, so ≤ ~10^4 even on
+    # a 1000-executor cluster — fine as a driver list / literal).
+    bounds = [
+        r["lo"]
+        for r in blocks_assign.groupBy("block_id")
+        .agg(F.min("rkey").alias("lo"))
+        .orderBy("block_id")
+        .collect()
+    ]
+    meta = {
+        "has_hubs": has_hubs,
+        "max_out_deg": int(max_deg),
+        "bounds": bounds,
+        "int32_indices": use_i32,
+    }
+    return blocks_assign, csr, meta
 
 
 def build_csr_blocks_from_edges(
