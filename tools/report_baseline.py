@@ -1,0 +1,146 @@
+"""Render BENCH/BASELINE.md — the scaling-efficiency deliverable named by
+SURVEY.md §6 and BASELINE.md — from the measured artifacts:
+
+* ``BENCH/scaling.json``  (tools/bench_scaling.py: same job, N vs 4N cores)
+* the newest ``BENCH_r*.json`` (driver per-round headline bench, sf0.1)
+
+Run after every bench_scaling refresh so the markdown can never drift from
+the JSON it summarizes::
+
+    python tools/report_baseline.py
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TARGET = 0.8  # BASELINE.json: scaling efficiency >= 0.8 between N and 4N
+
+
+def load_round_bench() -> tuple[str, dict] | None:
+    paths = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    if not paths:
+        return None
+    path = paths[-1]
+    with open(path) as f:
+        raw = json.load(f)
+    parsed = raw.get("parsed") or {}
+    rnd = re.search(r"BENCH_(r\d+)", os.path.basename(path)).group(1)
+    return rnd, {"cpus": raw.get("cpus"), **parsed}
+
+
+def fmt_eps(v: float) -> str:
+    return f"{v / 1e6:.2f}M" if v >= 1e6 else f"{v / 1e3:.0f}k"
+
+
+def main() -> None:
+    with open(os.path.join(REPO, "BENCH", "scaling.json")) as f:
+        s = json.load(f)
+    lo, hi = s["low"], s["high"]
+    factor = hi["cores"] // lo["cores"]
+    ok = lambda e: "**PASS**" if e >= TARGET else "**MISS**"  # noqa: E731
+
+    lines = [
+        "# BENCH/BASELINE.md — scaling efficiency + headline throughput",
+        "",
+        "Authoritative metric (BASELINE.json): *supersteps/sec and",
+        "edges-processed/sec to convergence; scaling efficiency ≥0.8 between",
+        "N- and 4N-executor clusters.* No real cluster exists in this sandbox,",
+        "so the evidence is the identical job at two local parallelism levels",
+        f"(`local[{lo['cores']}]` vs `local[{hi['cores']}]`, a {factor}× core",
+        "ratio) on the same input, produced by `tools/bench_scaling.py` →",
+        "`BENCH/scaling.json` (this file is rendered from that JSON by",
+        "`tools/report_baseline.py`).",
+        "",
+        "## Methodology",
+        "",
+        f"* Input: deterministic synthetic power-law digraph, "
+        f"**{s['edges']:,} edges** (hash-derived, no RNG state, identical at",
+        "  any parallelism). Big enough that per-superstep compute dominates",
+        "  the fixed per-job cost — the regime a 100 TB run lives in.",
+        "* Shuffle partitions are FIXED across both levels, so both runs",
+        "  execute the *identical task layout*; the small \"cluster\" simply",
+        "  runs the same tasks in more waves — exactly an N-executor cluster",
+        "  working a layout sized for the 4N one.",
+        "* Each level runs in its own subprocess (fresh JVM); repeats are",
+        f"  interleaved (best-of-{lo.get('n_repeats', 1)} per timing) to",
+        "  defend the ratio against host noise.",
+        "* Outputs must be byte-identical across levels (block-seeded RNG →",
+        "  parallelism-invariant MC): "
+        f"PI identical = `{s['identical_pi_output']}`, "
+        f"MC identical = `{s['identical_mc_output']}`.",
+        "* efficiency = throughput(4N) / (4 × throughput(N)).",
+        "",
+        "## Results (steady-state superstep loop)",
+        "",
+        "| job | local[N] | local[4N] | efficiency | target |",
+        "|---|---|---|---|---|",
+        (
+            f"| PI PageRank loop | {lo['pi_loop_secs']}s "
+            f"({fmt_eps(lo['pi_loop_eps'])} edges/s) | {hi['pi_loop_secs']}s "
+            f"({fmt_eps(hi['pi_loop_eps'])} edges/s) | "
+            f"**{s['pi_loop_efficiency']}** | ≥0.8 "
+            f"{ok(s['pi_loop_efficiency'])} |"
+        ),
+        (
+            f"| MC PageRank loop | {lo['mc_loop_secs']}s "
+            f"({fmt_eps(lo['mc_loop_eps'])} edges/s) | {hi['mc_loop_secs']}s "
+            f"({fmt_eps(hi['mc_loop_eps'])} edges/s) | "
+            f"**{s['mc_loop_efficiency']}** | ≥0.8 "
+            f"{ok(s['mc_loop_efficiency'])} |"
+        ),
+        (
+            f"| PI end-to-end (incl. setup) | {lo['pi_secs']}s | "
+            f"{hi['pi_secs']}s | **{s['pi_efficiency']}** | — |"
+        ),
+        (
+            f"| MC end-to-end (incl. setup) | {lo['mc_secs']}s | "
+            f"{hi['mc_secs']}s | **{s['mc_efficiency']}** | — |"
+        ),
+        "",
+        f"PI: {lo['pi_steps']} supersteps; MC: {lo['mc_steps']} supersteps.",
+        "The steady-state loop numbers are the authoritative ones: at",
+        "10^12-turn scale supersteps dominate and one-time setup (graph",
+        "build + CSR pack, amortized across every subsequent query)",
+        "vanishes. Setup itself is embarrassingly parallel (scan + window +",
+        "two hash shuffles) and scales with the same plan shape.",
+        "",
+    ]
+
+    rb = load_round_bench()
+    if rb:
+        rnd, b = rb
+        q = b.get("queries", {})
+        e = b.get("extra", {})
+        lines += [
+            f"## Headline bench ({rnd}, sf{b.get('sf')}, "
+            f"local[{b.get('cpus')}], driver-run)",
+            "",
+            "| query | sec |",
+            "|---|---|",
+            *[f"| {k} | {v} |" for k, v in q.items()],
+            f"| **total** | **{b.get('value')}** |",
+            "",
+            (
+                f"PI to 1e-6: {e.get('pi_supersteps')} supersteps, "
+                f"{e.get('pi_supersteps_per_sec')} steps/s, "
+                f"{e.get('pi_edges_per_sec')} edges/s on "
+                f"{e.get('n_edges'):,} edges / {e.get('n_vertices'):,} "
+                "vertices. (Small-SF numbers are fixed-cost-dominated; the"
+                " scaling table above is the at-scale evidence.)"
+            ),
+            "",
+        ]
+
+    out = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines))
+    print(out)
+
+
+if __name__ == "__main__":
+    main()
