@@ -107,10 +107,14 @@ def route_expr(rkey_col: Column, bounds: list[int]) -> Column:
     if not inner:
         return F.lit(0)
     if len(inner) <= MAX_CHAINED_BOUNDS:
-        expr = F.lit(len(inner))
-        for i in range(len(inner) - 1, -1, -1):
-            expr = F.when(rkey_col < F.lit(inner[i]), F.lit(i)).otherwise(expr)
-        return expr.cast("int")
+        # FLAT CaseWhen (chained .when on one Column), not nested
+        # when().otherwise(when()...): a nested chain recurses once per
+        # branch during expression conversion and overflows the JVM stack
+        # near ~500 branches (found by test_route_expr_both_paths)
+        expr = F.when(rkey_col < F.lit(inner[0]), F.lit(0))
+        for i in range(1, len(inner)):
+            expr = expr.when(rkey_col < F.lit(inner[i]), F.lit(i))
+        return expr.otherwise(F.lit(len(inner))).cast("int")
     return F.aggregate(
         F.lit(inner),
         F.lit(0),
@@ -234,7 +238,7 @@ def pagerank_monte_carlo(
         slots = spark.sparkContext.defaultParallelism
         edges_per_block = max(total_w // max(2 * slots, 1) + 1, 1 << 12)
     blocks_assign, csr, plan_meta = plan_walk_blocks(
-        edges, edges_per_block=edges_per_block
+        edges, edges_per_block=edges_per_block, n_partitions=n_parts
     )
     # persist the loop-invariant CSR already hash-partitioned by the
     # cogroup key: the walk loop then never re-shuffles the graph

@@ -112,7 +112,10 @@ def assign_blocks(
 
 
 def plan_walk_blocks(
-    edges: DataFrame, edges_per_block: int = 1 << 20, coarse: int = 1 << 16
+    edges: DataFrame,
+    edges_per_block: int = 1 << 20,
+    coarse: int = 1 << 16,
+    n_partitions: int | None = None,
 ) -> tuple[DataFrame, DataFrame, dict]:
     """Degree-aware block plan WITH hub-vertex splitting (north_star:
     "hub vertices split across ≥2 blocks, partial-aggregated then
@@ -145,10 +148,21 @@ def plan_walk_blocks(
     plan is one groupBy + the prefix-sum + one src-keyed join, and the
     one-row max() aggregate that picks the path is the only extra job.
     """
+    if n_partitions:
+        # one up-front exchange by src; the degree aggregation and the
+        # edge⋈assignment join below both reuse that partitioning, so the
+        # full edge table is shuffled once during planning, not twice —
+        # at 100 TB the edge exchange IS the setup cost
+        edges = edges.repartition(n_partitions, "src")
     out_deg = edges.groupBy(F.col("src").alias("v")).agg(
-        F.count("*").alias("out_deg")
+        F.count("*").alias("out_deg"), F.max("dst").alias("_mx_dst")
     )
-    max_deg = out_deg.agg(F.max("out_deg")).collect()[0][0] or 0
+    mrow = out_deg.agg(
+        F.max("out_deg").alias("d"),
+        F.max("_mx_dst").alias("mx"),  # only dst feeds the int32 indices
+    ).collect()[0]
+    out_deg = out_deg.drop("_mx_dst")
+    max_deg = mrow["d"] or 0
     has_hubs = max_deg > edges_per_block
 
     if not has_hubs:
@@ -216,9 +230,9 @@ def plan_walk_blocks(
         ).select("block_id", "rkey", "dst")
 
     # int32 neighbour ids when the id space fits (dense dictionary ids
-    # always do until ~2.1B vertices); halves per-superstep Arrow volume
-    max_id = edges.agg(F.max("dst").alias("d"), F.max("src").alias("s")).collect()[0]
-    use_i32 = (max_id["d"] or 0) < (1 << 31) and (max_id["s"] or 0) < (1 << 31)
+    # always do until ~2.1B vertices); halves per-superstep Arrow volume.
+    # The max-dst scalar rode the degree aggregation above — no extra scan.
+    use_i32 = (mrow["mx"] or 0) < (1 << 31)
     idx_np = np.int32 if use_i32 else np.int64
     idx_pa = pa.int32() if use_i32 else pa.int64()
 

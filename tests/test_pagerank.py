@@ -140,3 +140,43 @@ def test_mc_parallelism_invariance(spark, gnutella_mini):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     assert d1 == d2  # byte-identical, not just allclose
+
+
+def test_mc_empty_graph(spark):
+    empty = spark.createDataFrame([], "src long, dst long")
+    ranks, info = pagerank_monte_carlo(spark, empty, iterations=3)
+    assert ranks.count() == 0
+    assert info["total_visits"] == 0 and info["iterations"] == 0
+
+
+def test_route_expr_both_paths(spark):
+    """Coupon->block expression routing (pagerank_mc.route_expr) against a
+    numpy searchsorted oracle, through BOTH implementations: the chained
+    WHEN (<=512 boundaries) and the array-fold fallback (>512)."""
+    import numpy as np
+
+    from montecarlopagerank_spark.algos import pagerank_mc as m
+
+    rng = np.random.default_rng(7)
+    bounds = sorted({0, *rng.integers(1, 1 << 30, size=700).tolist()})
+    rkeys = np.concatenate(
+        [rng.integers(0, 1 << 31, size=300),
+         np.asarray(bounds[:50]),              # exactly on a boundary
+         np.asarray([b - 1 for b in bounds[1:40]])]  # just below one
+    ).astype(np.int64)
+    # oracle: index of the last boundary <= rkey
+    expect = (np.searchsorted(np.asarray(bounds), rkeys, side="right") - 1)
+
+    df = spark.createDataFrame([(int(r),) for r in rkeys], "rkey long")
+    for nb in (len(bounds), 512):  # full set -> fallback; prefix -> chained
+        sub = bounds[:nb]
+        exp_sub = np.searchsorted(np.asarray(sub), rkeys, side="right") - 1
+        got = {
+            r["rkey"]: r["b"]
+            for r in df.select(
+                "rkey", m.route_expr(F.col("rkey"), sub).alias("b")
+            ).collect()
+        }
+        for rk, e in zip(rkeys.tolist(), exp_sub.tolist()):
+            assert got[rk] == e, (nb, rk)
+    assert expect is not None
