@@ -48,7 +48,15 @@ class StateStore:
     def __init__(self, spark: SparkSession, root: str | None = None):
         self.spark = spark
         self._own = root is None
-        self.root = root or tempfile.mkdtemp(prefix="mcpr_state_")
+        # SPARK_GRAFT_SCRATCH relocates scratch state (e.g. to tmpfs for
+        # benchmarks: this sandbox has ONE shared disk at every "cluster
+        # size", so on-disk scratch couples the N-vs-4N ratio to disk
+        # throughput noise — a real 4N-node cluster has 4N local disks).
+        # Default stays the system temp dir.
+        base = os.environ.get("SPARK_GRAFT_SCRATCH")
+        if base:
+            os.makedirs(base, exist_ok=True)
+        self.root = root or tempfile.mkdtemp(prefix="mcpr_state_", dir=base)
         if self._own:
             _SCRATCH_ROOTS.add(self.root)
         self._seq: dict[str, int] = {}
