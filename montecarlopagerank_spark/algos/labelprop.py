@@ -8,15 +8,17 @@ Synchronous LPA can oscillate on bipartite-ish structures, hence the hard
 ``max_iters`` cap; the fixpoint test is "no vertex changed label".
 
 Shape per superstep: edges ⋈ labels → groupBy(v, label).count() →
-window row_number over (count desc, label asc) → filter rn=1. The
-count aggregation is partial-aggregable; the window partitions by vertex
-(no global sort). Hub vertices with huge neighbourhoods pre-aggregate
-map-side because (v, label) collapses duplicates early.
+groupBy(v).max(struct(cnt, −label)) — the mode with min-label tie-break
+as two hash aggregations, both partial-aggregable, no window sort. Hub
+vertices with huge neighbourhoods pre-aggregate map-side because
+(v, label) collapses duplicates early; the loop-invariant symmetric edge
+table is cached pre-partitioned by the join key so each superstep
+exchanges only the O(V) label table.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Observation, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -30,12 +32,19 @@ def label_propagation(
     max_iters: int = 20,
 ) -> DataFrame:
     """``edges(src,dst)`` → ``labels(v:long, label:long)``."""
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     e = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     sym = (
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .filter("u != v")
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)  # loop-invariant
+        # loop-invariant; the explicit repartition by the join key makes
+        # the cached partitioning visible to the loop planner, so each
+        # superstep's join exchanges only the O(V) label table, never the
+        # O(E) symmetric edge table (same AQE-cache opacity as
+        # pagerank_power — see the comment there)
+        .repartition(n_parts, "u")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     verts = (
         vertices.select(F.col("vid").alias("v"))
@@ -47,17 +56,24 @@ def label_propagation(
         verts.select("v", F.col("v").alias("label")), "labels"
     )
 
-    w = Window.partitionBy("v").orderBy(F.desc("cnt"), F.asc("label"))
     for it in range(max_iters):
         nbr_labels = sym.join(
             labels.withColumnRenamed("v", "u"), "u"
         ).select("v", "label")
+        # mode with min-label tie-break as a pure hash aggregation:
+        # max(struct(cnt, -label)) ≡ row_number over (cnt desc, label asc)
+        # = 1, but partial-aggregable and without the window's per-
+        # partition sort
         mode = (
             nbr_labels.groupBy("v", "label")
             .agg(F.count("*").alias("cnt"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter("rn = 1")
-            .select("v", F.col("label").alias("new_label"))
+            .groupBy("v")
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col("label")).alias("negl"))
+                ).alias("m")
+            )
+            .select("v", (-F.col("m.negl")).alias("new_label"))
         )
         updated = (
             labels.join(mode, "v", "left")
