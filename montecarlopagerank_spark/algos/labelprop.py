@@ -61,19 +61,21 @@ def label_propagation(
             labels.withColumnRenamed("v", "u"), "u"
         ).select("v", "label")
         # mode with min-label tie-break as a pure hash aggregation:
-        # max(struct(cnt, -label)) ≡ row_number over (cnt desc, label asc)
+        # min(struct(-cnt, label)) ≡ row_number over (cnt desc, label asc)
         # = 1, but partial-aggregable and without the window's per-
-        # partition sort
+        # partition sort. The count (not the label) is negated so the
+        # argmax stays type-generic — labels may be longs (vid graphs) or
+        # strings (kind#key graphs), and struct comparison orders either.
         mode = (
             nbr_labels.groupBy("v", "label")
             .agg(F.count("*").alias("cnt"))
             .groupBy("v")
             .agg(
-                F.max(
-                    F.struct(F.col("cnt"), (-F.col("label")).alias("negl"))
+                F.min(
+                    F.struct((-F.col("cnt")).alias("negc"), F.col("label"))
                 ).alias("m")
             )
-            .select("v", (-F.col("m.negl")).alias("new_label"))
+            .select("v", F.col("m.label").alias("new_label"))
         )
         updated = (
             labels.join(mode, "v", "left")

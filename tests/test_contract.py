@@ -22,6 +22,9 @@ SUBSET = [
     "langid_heuristic",
     "embedding_topk",
     "triangle_count",
+    # string-keyed LPA: exercises the argmax tie-break on a non-numeric
+    # label type, which the vid-graph tests can't catch
+    "label_propagation_fixed2",
 ]
 
 
