@@ -86,50 +86,64 @@ edges = (
 )
 edges = edges.persist(); real_edges = edges.count()
 
-from montecarlopagerank_spark.algos.pagerank_power import pagerank_power
-t0 = time.time()
-ranks, info = pagerank_power(spark, edges, tol=0.0, max_iters=pi_steps)
-pi_secs = time.time() - t0
-# integer checksum: order-independent exact sum (float-sum checksums are
-# partitioning-dependent); round-6 quantization absorbs ~1e-13 float noise
-r_int = F.round(F.col("rank") * n_vertices * 1e6).cast("long")
-pi_check = ranks.agg(
-    F.sum(F.pmod(r_int * F.col("v"), F.lit(1000000007))).alias("c"),
-    F.count("*").alias("n")).collect()[0]
+# Each subprocess runs exactly ONE job (pi or mc), fresh JVM + fresh
+# Python workers + empty storage pool — a real deployment runs each as
+# its own spark-submit application, and measuring them co-resident lets
+# the first job's leftover caches/scratch perturb the second (observed:
+# MC's 8-core loop ran ~20% slower sharing a JVM with a preceding PI run
+# than in its own application).
+job = sys.argv[8]
+result = {{"cores": cores, "edges": real_edges}}
 
-from montecarlopagerank_spark.algos.pagerank_mc import pagerank_monte_carlo
-t0 = time.time()
-mcr, mcinfo = pagerank_monte_carlo(
-    spark, edges, walks_per_vertex=mc_walks, iterations=mc_steps,
-    edges_per_block=edges_per_block)
-mc_secs = time.time() - t0
-# integer visit totals -> exact, order-independent checksum
-mc_check = mcinfo["total_visits"]
+if job == "pi":
+    from montecarlopagerank_spark.algos.pagerank_power import pagerank_power
+    t0 = time.time()
+    ranks, info = pagerank_power(spark, edges, tol=0.0, max_iters=pi_steps)
+    pi_secs = time.time() - t0
+    # integer checksum: order-independent exact sum (float-sum checksums
+    # are partitioning-dependent); round-6 quantization absorbs ~1e-13
+    # float noise
+    r_int = F.round(F.col("rank") * n_vertices * 1e6).cast("long")
+    pi_check = ranks.agg(
+        F.sum(F.pmod(r_int * F.col("v"), F.lit(1000000007))).alias("c"),
+        F.count("*").alias("n")).collect()[0]
+    result.update({{
+        "pi_secs": round(pi_secs, 2), "pi_steps": pi_steps,
+        "pi_loop_secs": info["loop_secs"], "pi_setup_secs": info["setup_secs"],
+        "pi_eps": round(real_edges * pi_steps / pi_secs, 1),
+        "pi_loop_eps": round(real_edges * pi_steps / info["loop_secs"], 1),
+        "pi_check": [int(pi_check["c"]), pi_check["n"]],
+    }})
+else:
+    from montecarlopagerank_spark.algos.pagerank_mc import pagerank_monte_carlo
+    t0 = time.time()
+    mcr, mcinfo = pagerank_monte_carlo(
+        spark, edges, walks_per_vertex=mc_walks, iterations=mc_steps,
+        edges_per_block=edges_per_block)
+    mc_secs = time.time() - t0
+    result.update({{
+        "mc_secs": round(mc_secs, 2), "mc_steps": mcinfo["iterations"],
+        "mc_loop_secs": mcinfo["loop_secs"],
+        "mc_setup_secs": mcinfo["setup_secs"],
+        "mc_eps": round(real_edges * mcinfo["iterations"] / mc_secs, 1),
+        "mc_loop_eps": round(
+            real_edges * mcinfo["iterations"] / mcinfo["loop_secs"], 1),
+        # integer visit totals -> exact, order-independent checksum
+        "mc_check": mcinfo["total_visits"],
+    }})
 
-print("RESULT " + json.dumps({{
-    "cores": cores, "edges": real_edges,
-    "pi_secs": round(pi_secs, 2), "pi_steps": pi_steps,
-    "pi_loop_secs": info["loop_secs"], "pi_setup_secs": info["setup_secs"],
-    "pi_eps": round(real_edges * pi_steps / pi_secs, 1),
-    "pi_loop_eps": round(real_edges * pi_steps / info["loop_secs"], 1),
-    "pi_check": [int(pi_check["c"]), pi_check["n"]],
-    "mc_secs": round(mc_secs, 2), "mc_steps": mcinfo["iterations"],
-    "mc_loop_secs": mcinfo["loop_secs"], "mc_setup_secs": mcinfo["setup_secs"],
-    "mc_eps": round(real_edges * mcinfo["iterations"] / mc_secs, 1),
-    "mc_loop_eps": round(real_edges * mcinfo["iterations"] / mcinfo["loop_secs"], 1),
-    "mc_check": mc_check,
-}}))
+print("RESULT " + json.dumps(result))
 spark.stop()
 shutil.rmtree(SCRATCH, ignore_errors=True)
 """
 
 
-def run_level(cores: int, args) -> dict:
+def run_job(cores: int, job: str, args) -> dict:
     script = WORKER.format(repo=REPO)
     out = subprocess.run(
         [sys.executable, "-c", script, str(cores), str(args.edges),
          str(args.pi_steps), str(args.mc_steps), str(args.mc_walks),
-         str(args.avg_degree), str(args.parts)],
+         str(args.avg_degree), str(args.parts), job],
         capture_output=True, text=True, timeout=args.timeout,
         env={**os.environ, "SPARK_GRAFT_CPUS": str(cores)},
     )
@@ -192,11 +206,18 @@ def main() -> None:
     args = ap.parse_args()
 
     lows, highs = [], []
-    for i in range(args.repeat):  # interleave L,H,L,H…
-        lows.append(run_level(args.n_low, args))
-        highs.append(run_level(args.n_high, args))
-        print(f"repeat {i}: low pi={lows[-1]['pi_secs']}s mc={lows[-1]['mc_secs']}s"
-              f" | high pi={highs[-1]['pi_secs']}s mc={highs[-1]['mc_secs']}s")
+    for i in range(args.repeat):
+        # per-job interleave (PI@N, PI@4N, MC@N, MC@4N): the two sides of
+        # each efficiency ratio are measured back-to-back, so a slow host
+        # window hits both sides of a ratio rather than faking a gap
+        low = run_job(args.n_low, "pi", args)
+        high = run_job(args.n_high, "pi", args)
+        low.update(run_job(args.n_low, "mc", args))
+        high.update(run_job(args.n_high, "mc", args))
+        lows.append(low)
+        highs.append(high)
+        print(f"repeat {i}: low pi={low['pi_secs']}s mc={low['mc_secs']}s"
+              f" | high pi={high['pi_secs']}s mc={high['mc_secs']}s")
     low = merge_best(lows, args.pi_steps)
     high = merge_best(highs, args.pi_steps)
     factor = args.n_high / args.n_low
