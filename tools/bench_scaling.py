@@ -65,9 +65,21 @@ edges_per_block = max(n_edges // 64, 1 << 12)
 # N and 4N cores and the comparison measures executor scaling only — the
 # small cluster simply runs the same task set in more waves, exactly like
 # a real N-executor cluster working a layout sized for the 4N one
-spark = get_spark(app_name=f"scaling-{{cores}}", master=f"local[{{cores}}]",
-                  shuffle_partitions=parts,
-                  extra_conf={{"spark.local.dir": os.path.join(SCRATCH, "sl")}})
+spark = get_spark(
+    app_name=f"scaling-{{cores}}", master=f"local[{{cores}}]",
+    shuffle_partitions=parts,
+    extra_conf={{
+        "spark.local.dir": os.path.join(SCRATCH, "sl"),
+        # AQE partition coalescing targets defaultParallelism
+        # (parallelismFirst=true), so left on it hands the SMALL cluster
+        # fewer/bigger post-shuffle tasks than the big one — the two
+        # levels would run different task layouts and the ratio would mix
+        # per-task overhead into the scaling signal. Pinned off here (and
+        # only here): both levels execute the identical task set, the
+        # small one simply in more waves.
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }},
+)
 
 # deterministic synthetic power-law digraph: for edge i, src = i mod n,
 # dst biased to low ids via product of two hashes -> hubby in-degree.

@@ -66,9 +66,14 @@ def main() -> None:
         "  execute the *identical task layout*; the small \"cluster\" simply",
         "  runs the same tasks in more waves — exactly an N-executor cluster",
         "  working a layout sized for the 4N one.",
-        "* Each level runs in its own subprocess (fresh JVM); repeats are",
-        f"  interleaved (best-of-{lo.get('n_repeats', 1)} per timing) to",
-        "  defend the ratio against host noise.",
+        "* Each (level, job) measurement runs in its own subprocess (fresh",
+        "  JVM, fresh Python workers, empty storage pool) — as a real",
+        "  deployment runs each job as its own spark-submit application.",
+        "  Repeats are interleaved per job (PI@N, PI@4N, MC@N, MC@4N), so",
+        "  both sides of each ratio are measured back-to-back; best-of-"
+        f"{lo.get('n_repeats', 1)} per",
+        "  timing defends the ratio against host noise (repeats may span",
+        "  several harness invocations, folded by tools/merge_scaling.py).",
         "* Outputs must be byte-identical across levels (block-seeded RNG →",
         "  parallelism-invariant MC): "
         f"PI identical = `{s['identical_pi_output']}`, "
