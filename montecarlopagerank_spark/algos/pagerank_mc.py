@@ -275,20 +275,14 @@ def pagerank_monte_carlo(
     t_setup = time.time()
     K = max(walks_per_vertex, 1)  # MonteCarloPageRank.scala:101
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    verts = (
-        vertices.select(F.col("vid").alias("v"))
-        if vertices is not None
-        else edges.select(F.col("src").alias("v"))
-        .unionByName(edges.select(F.col("dst").alias("v")))
-        .distinct()
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    if edges_per_block is None:
-        total_w = edges.count() + verts.count()
-        slots = spark.sparkContext.defaultParallelism
-        edges_per_block = max(total_w // max(2 * slots, 1) + 1, 1 << 12)
+    t_plan0 = time.time()
+    # edges_per_block=None → the planner derives the ≈2-blocks-per-slot
+    # default from the degree aggregate it computes anyway (no extra pass)
     blocks_assign, csr, plan_meta = plan_walk_blocks(
         edges, edges_per_block=edges_per_block, n_partitions=n_parts
     )
+    edges_per_block = plan_meta["edges_per_block"]
+    t_plan1 = time.time()
     store = StateStore(spark)  # flat per-superstep materializer (state.py)
     # the loop-invariant CSR goes to block_id-partitioned parquet ONCE;
     # the walk kernel's workers load + cache their blocks from these
@@ -301,6 +295,7 @@ def pagerank_monte_carlo(
         .mode("overwrite")
         .parquet(csr_path)
     )
+    t_csr = time.time()
     bounds = plan_meta["bounds"]
     has_hubs = plan_meta["has_hubs"]
     if has_hubs:
@@ -314,6 +309,18 @@ def pagerank_monte_carlo(
         hub_ids = sorted({r["v"] for r in hub_reps.select("v").distinct().collect()})
     else:
         hub_reps, hub_ids = None, []
+    # vertex set: srcs come free from the planner's cached O(V) degree
+    # table; only the dst side pays a distinct over the cached
+    # src-partitioned edges — the raw edge source is never re-read
+    verts = (
+        vertices.select(F.col("vid").alias("v"))
+        if vertices is not None
+        else plan_meta["out_deg"].select("v")
+        .unionByName(
+            plan_meta["edges_src_partitioned"].select(F.col("dst").alias("v"))
+        )
+        .distinct()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     ckpt = None
     start_step = 0
@@ -344,9 +351,14 @@ def pagerank_monte_carlo(
             coupons = store.materialize(init, "coupons_init")
         step_coupons = [coupons]
 
+    for df in plan_meta["cached"]:  # planner pins (edges exchange, degree
+        df.unpersist()  # table, block assignment) end with setup — the
+        # loop reads only the CSR side-files, bounds, and hub broadcast
     steps_run = start_step
+    step_secs: list[float] = []  # per-superstep wall time (diagnostic)
     t_loop = time.time()
     for step in range(start_step, iterations):
+        t_step = time.time()
         # narrow expression routing: coupon → (block_id, rkey) with zero
         # joins; hub coupons peel off to the multinomial splitter
         rkey = F.shiftleft(F.col("v"), REPLICA_BITS)
@@ -389,6 +401,7 @@ def pagerank_monte_carlo(
             coupons = store.materialize(observed, f"coupons_{step}")
         step_coupons.append(coupons)
         steps_run = step + 1
+        step_secs.append(round(time.time() - t_step, 3))
         if int(obs.get["total"] or 0) == 0:  # extinction — nothing to walk
             break
 
@@ -430,5 +443,14 @@ def pagerank_monte_carlo(
         "n_blocks": len(bounds),
         "setup_secs": round(t_loop - t_setup, 3),
         "loop_secs": round(t_loop_end - t_loop, 3),
+        "step_secs": step_secs,
+        # setup breakdown: plan = out_deg agg + bounds collect jobs;
+        # csr_write = the edge shuffle + Arrow pack + parquet side-files
+        # (the O(E) part); rest = hub collect + init-coupon write
+        "setup_phases": {
+            "plan": round(t_plan1 - t_plan0, 3),
+            "csr_write": round(t_csr - t_plan1, 3),
+            "rest": round(t_loop - t_csr, 3),
+        },
     }
     return ranks, info

@@ -50,27 +50,37 @@ def _prepare(edges: DataFrame, vertices: DataFrame | None, n_parts: int):
     """Loop-invariant structures: closed vertex set, out-degrees, and the
     (src, dst, inv_deg) contribution-edge table partitioned by src.
 
-    The edge table is exchanged by src ONCE, up front; the degree
-    aggregation and the degree join both reuse that partitioning (their
-    required distribution is already satisfied), so setup shuffles the
-    full edge table once instead of three times — at 100 TB the edge
-    exchange IS the setup cost."""
-    e2 = edges.repartition(n_parts, "src")
-    out_deg = e2.groupBy("src").agg(F.count("*").alias("out_deg"))
+    The edge table is exchanged by src ONCE, up front, and PINNED:
+    exchange reuse only holds *within* one query, and setup runs several
+    actions (contrib cache fill, vertex-flag cache fill) — unpinned, each
+    action re-reads the source and re-pays the exchange (measured ~3
+    source scans + 3 full exchanges at 100M edges). The O(V) degree table
+    is pinned too, and the vertex set rides it: srcs come from the degree
+    keys, only the dst side pays a distinct over the cached exchange. At
+    100 TB the edge exchange IS the setup cost; it must happen once.
+
+    Returns ``(verts, deg, contrib_edges, cached)`` — callers unpersist
+    ``cached`` once their own loop-invariant caches are materialized."""
+    e2 = edges.repartition(n_parts, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    out_deg = (
+        e2.groupBy("src")
+        .agg(F.count("*").alias("out_deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     contrib_edges = e2.join(out_deg, "src").select(
         "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("inv_deg")
     )
     verts = (
         vertices.select(F.col("vid").alias("v"))
         if vertices is not None
-        else edges.select(F.col("src").alias("v"))
-        .unionByName(edges.select(F.col("dst").alias("v")))
+        else out_deg.select(F.col("src").alias("v"))
+        .unionByName(e2.select(F.col("dst").alias("v")))
         .distinct()
     )
     deg = verts.join(out_deg.withColumnRenamed("src", "v"), "v", "left").select(
         "v", F.coalesce("out_deg", F.lit(0)).alias("out_deg")
     )
-    return verts, deg, contrib_edges
+    return verts, deg, contrib_edges, [e2, out_deg]
 
 
 def pagerank_power(
@@ -91,7 +101,7 @@ def pagerank_power(
     lineage each step (not resumable, faster for benches)."""
     t_setup = time.time()
     n_parts = int(n_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
-    verts, deg, contrib_edges = _prepare(edges, vertices, n_parts)
+    verts, deg, contrib_edges, plan_cached = _prepare(edges, vertices, n_parts)
     # the explicit repartition at the cache boundary is NOT redundant with
     # _prepare's: an AQE-planned cached join hides its output partitioning
     # from downstream planning, so without this node every loop iteration
@@ -115,6 +125,8 @@ def pagerank_power(
         F.count("*").alias("n"),
         F.sum(F.when(F.col("dang"), 1).otherwise(0)).alias("nd"),
     ).collect()[0]
+    for df in plan_cached:  # loop-invariant caches (contrib_edges, vflag)
+        df.unpersist()  # are materialized — the planner pins can go
     n = crow["n"]
     if n == 0:
         empty = spark.createDataFrame([], "v long, rank double")
@@ -160,8 +172,10 @@ def pagerank_power(
 
     converged = False
     it = start_step
+    step_secs: list[float] = []  # per-superstep wall time (diagnostic)
     t_loop = time.time()
     for it in range(start_step, max_iters):
+        t_step = time.time()
         # shuffle_hash hints: the rank vector is O(n) and must NEVER be
         # broadcast (a driver-serial hash build per superstep — measured
         # to flatline core-scaling once n·16B slips under the broadcast
@@ -216,6 +230,7 @@ def pagerank_power(
         delta = row["d"]
         m = row["m"] or 0.0
         deltas.append(float(delta))
+        step_secs.append(round(time.time() - t_step, 3))
         state = staged
         if ckpt:
             # re-commit manifest with the convergence metric (cheap, no data)
@@ -243,6 +258,7 @@ def pagerank_power(
         "iterations": it + 1, "converged": converged, "deltas": deltas, "n": n,
         "setup_secs": round(t_loop - t_setup, 3),
         "loop_secs": round(time.time() - t_loop, 3),
+        "step_secs": step_secs,
     }
     return ranks, info
 

@@ -31,6 +31,7 @@ import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 CSR_BLOCK_SCHEMA = (
     "block_id int, vids array<long>, indptr array<long>, indices array<long>"
@@ -113,7 +114,7 @@ def assign_blocks(
 
 def plan_walk_blocks(
     edges: DataFrame,
-    edges_per_block: int = 1 << 20,
+    edges_per_block: int | None = 1 << 20,
     coarse: int = 1 << 16,
     n_partitions: int | None = None,
 ) -> tuple[DataFrame, DataFrame, dict]:
@@ -148,21 +149,44 @@ def plan_walk_blocks(
     plan is one groupBy + the prefix-sum + one src-keyed join, and the
     one-row max() aggregate that picks the path is the only extra job.
     """
+    cached: list[DataFrame] = []  # pinned plans; meta["cached"] — the
+    # caller unpersists after materializing the CSR blocks
     if n_partitions:
-        # one up-front exchange by src; the degree aggregation and the
-        # edge⋈assignment join below both reuse that partitioning, so the
-        # full edge table is shuffled once during planning, not twice —
-        # at 100 TB the edge exchange IS the setup cost
-        edges = edges.repartition(n_partitions, "src")
-    out_deg = edges.groupBy(F.col("src").alias("v")).agg(
-        F.count("*").alias("out_deg"), F.max("dst").alias("_mx_dst")
+        # ONE up-front exchange by src, then PINNED: the degree
+        # aggregation, the replica recount, and the edge⋈assignment join
+        # are all separate Spark *actions*, and exchanges are not reused
+        # across jobs — unpinned, each action re-shuffled the full edge
+        # table from source (measured: setup at 100M edges paid the edge
+        # exchange ~5×, ~290 s of a 308 s MC setup at 2 cores). At 100 TB
+        # the edge exchange IS the setup cost; it must happen exactly once.
+        edges = edges.repartition(n_partitions, "src").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        cached.append(edges)
+    # (v, out_deg) is O(V) — pin it too; bounds/hub/default-sizing reads
+    # then never touch the edge table again
+    out_deg = (
+        edges.groupBy(F.col("src").alias("v"))
+        .agg(F.count("*").alias("out_deg"), F.max("dst").alias("_mx_dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    mrow = out_deg.agg(
-        F.max("out_deg").alias("d"),
+    cached.append(out_deg)
+    mrow = out_deg.agg(  # ONE job fills the edge + degree caches and
+        F.max("out_deg").alias("d"),  # returns every planning scalar
         F.max("_mx_dst").alias("mx"),  # only dst feeds the int32 indices
+        F.sum("out_deg").alias("e"),
+        F.count("*").alias("nsrc"),
     ).collect()[0]
     out_deg = out_deg.drop("_mx_dst")
     max_deg = mrow["d"] or 0
+    if edges_per_block is None:
+        # default block sizing ≈ 2 blocks per core slot (min 4k edges):
+        # derived from the degree table already in hand — no extra pass.
+        # Vertex weight uses the src count (dangling-only vertices carry
+        # no edges, so their exclusion barely moves this heuristic).
+        total_w = int(mrow["e"] or 0) + int(mrow["nsrc"] or 0)
+        slots = edges.sparkSession.sparkContext.defaultParallelism
+        edges_per_block = max(total_w // max(2 * slots, 1) + 1, 1 << 12)
     has_hubs = max_deg > edges_per_block
 
     if not has_hubs:
@@ -214,7 +238,8 @@ def plan_walk_blocks(
     blocks_assign = pre.select(
         "v", "replica", "rkey", "rsize", "n_rep",
         (F.col("prefix") / F.lit(edges_per_block)).cast("int").alias("block_id"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # O(V·replicas); read by the
+    cached.append(blocks_assign)  # CSR join, bounds collect, hub lookup
 
     if not has_hubs:
         joined = edges.join(
@@ -283,6 +308,15 @@ def plan_walk_blocks(
         "max_out_deg": int(max_deg),
         "bounds": bounds,
         "int32_indices": use_i32,
+        "edges_per_block": edges_per_block,
+        # src-partitioned cached edge table + O(V) degree table, for
+        # callers that need further graph passes (e.g. the vertex set)
+        # without re-paying the source exchange
+        "edges_src_partitioned": edges,
+        "out_deg": out_deg,
+        # pinned plans backing blocks_assign/csr; callers unpersist these
+        # once the CSR blocks are materialized
+        "cached": cached,
     }
     return blocks_assign, csr, meta
 

@@ -78,6 +78,11 @@ spark = get_spark(
         # only here): both levels execute the identical task set, the
         # small one simply in more waves.
         "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        # profiling aid: BENCH_EVENTLOG=<dir> records the Spark event log
+        # for per-stage scaling analysis (tools/stage_profile.py)
+        **({{"spark.eventLog.enabled": "true",
+             "spark.eventLog.dir": "file://" + os.environ["BENCH_EVENTLOG"]}}
+           if os.environ.get("BENCH_EVENTLOG") else {{}}),
     }},
 )
 
@@ -125,6 +130,7 @@ if job == "pi":
         "pi_eps": round(real_edges * pi_steps / pi_secs, 1),
         "pi_loop_eps": round(real_edges * pi_steps / info["loop_secs"], 1),
         "pi_check": [int(pi_check["c"]), pi_check["n"]],
+        "pi_step_secs": info.get("step_secs"),  # diagnostic, not merged
     }})
 else:
     from montecarlopagerank_spark.algos.pagerank_mc import pagerank_monte_carlo
@@ -142,6 +148,9 @@ else:
             real_edges * mcinfo["iterations"] / mcinfo["loop_secs"], 1),
         # integer visit totals -> exact, order-independent checksum
         "mc_check": mcinfo["total_visits"],
+        # diagnostic only (not merged best-of): where setup time goes
+        "mc_setup_phases": mcinfo.get("setup_phases"),
+        "mc_step_secs": mcinfo.get("step_secs"),
     }})
 
 print("RESULT " + json.dumps(result))
