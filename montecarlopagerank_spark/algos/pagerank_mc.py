@@ -174,6 +174,60 @@ def _load_block(csr_path: str, block_id: int):
     return entry
 
 
+def _preload_all(csr_path: str) -> None:
+    """Load every CSR block of ``csr_path`` into this worker's resident
+    cache in ONE vectorized parquet read (per-block dir reads pay file
+    open/footer/decode overhead ×blocks). Skipped when the decoded
+    dataset cannot fit the cache cap — the lazy per-block path then
+    serves with LRU. On a real cluster the dataset dir holds only the
+    executor's shard (stable hash partitioning), so this is the Pregel
+    graph-load phase, once per worker, amortized over all supersteps."""
+    total = 0
+    for dp, _dirs, fs in os.walk(csr_path):
+        for fname in fs:
+            if not fname.startswith("_"):
+                total += os.path.getsize(os.path.join(dp, fname))
+    if total == 0 or total * 3 > _CSR_CACHE_CAP:  # empty graph, or the
+        return  # decoded arrays (≈2-3× zstd parquet) would thrash the LRU
+    try:
+        tbl = pq.read_table(
+            csr_path, columns=["block_id", "vids", "indptr", "indices"]
+        )
+    except (pa.lib.ArrowInvalid, KeyError, OSError):
+        # e.g. a zero-row write leaves a schema-only part file with no
+        # block_id= hive dirs; the lazy per-block path serves instead
+        return
+    for i in range(tbl.num_rows):
+        bid = int(tbl.column("block_id")[i].as_py())
+        key = (csr_path, bid)
+        if key in _CSR_CACHE:
+            continue
+        entry = tuple(
+            tbl.column(c)[i].values.to_numpy(zero_copy_only=False)
+            for c in ("vids", "indptr", "indices")
+        )
+        _CSR_CACHE[key] = entry
+        _CSR_CACHE_BYTES[0] += sum(a.nbytes for a in entry)
+
+
+def warm_csr_workers(spark: SparkSession, csr_path: str) -> None:
+    """One ~simultaneous Arrow task per core slot: each reused Python
+    worker preloads the CSR side-files before superstep 0. Without this,
+    every worker pays its cold block reads inside the first superstep —
+    a cost proportional to workers × blocks that anti-scales with the
+    cluster (measured: step 0 at 8 cores ran 3.9× the steady-state step,
+    and only 1.65× at 2 cores). Warm wall-time is ≈ constant in core
+    count: all slots load concurrently. Workers the pass happens to miss
+    (or later evictions) fall back to lazy per-block loads."""
+    n_slots = spark.sparkContext.defaultParallelism
+
+    def warm(batches):
+        _preload_all(csr_path)
+        yield from batches  # pass-through; one tiny row per task
+
+    spark.range(0, n_slots, 1, n_slots).mapInArrow(warm, "id long").count()
+
+
 def _walk_kernel(csr_path: str, eps: float, seed: int, step: int):
     """Grouped-map Arrow kernel: routed coupons of ONE block → coalesced
     arrivals (dst, cnt). The block's CSR slice comes from the worker-
@@ -295,6 +349,8 @@ def pagerank_monte_carlo(
         .mode("overwrite")
         .parquet(csr_path)
     )
+    warm_csr_workers(spark, csr_path)  # Pregel graph-load: resident
+    # caches fill once per worker here, not inside superstep 0
     t_csr = time.time()
     bounds = plan_meta["bounds"]
     has_hubs = plan_meta["has_hubs"]

@@ -67,7 +67,11 @@ def _prepare(edges: DataFrame, vertices: DataFrame | None, n_parts: int):
         .agg(F.count("*").alias("out_deg"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    contrib_edges = e2.join(out_deg, "src").select(
+    # shuffle_hash: the O(V) degree table exceeds the broadcast threshold
+    # well before 100 TB, and a sort-merge join would SORT the full edge
+    # table — the hint streams the cached edges in place and hash-builds
+    # the per-partition degree slice instead (no edge sort, no exchange)
+    contrib_edges = e2.join(out_deg.hint("shuffle_hash"), "src").select(
         "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("inv_deg")
     )
     verts = (
@@ -77,9 +81,9 @@ def _prepare(edges: DataFrame, vertices: DataFrame | None, n_parts: int):
         .unionByName(e2.select(F.col("dst").alias("v")))
         .distinct()
     )
-    deg = verts.join(out_deg.withColumnRenamed("src", "v"), "v", "left").select(
-        "v", F.coalesce("out_deg", F.lit(0)).alias("out_deg")
-    )
+    deg = verts.join(
+        out_deg.withColumnRenamed("src", "v").hint("shuffle_hash"), "v", "left"
+    ).select("v", F.coalesce("out_deg", F.lit(0)).alias("out_deg"))
     return verts, deg, contrib_edges, [e2, out_deg]
 
 

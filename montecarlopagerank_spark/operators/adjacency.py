@@ -207,7 +207,9 @@ def plan_walk_blocks(
             .otherwise(F.lit(1))
             .alias("n_rep"),
         )
-        edge_rep = edges.join(nrep.withColumnRenamed("v", "src"), "src").select(
+        edge_rep = edges.join(
+            nrep.withColumnRenamed("v", "src").hint("shuffle_hash"), "src"
+        ).select(
             "src",
             "dst",
             F.when(
@@ -241,16 +243,20 @@ def plan_walk_blocks(
     ).persist(StorageLevel.MEMORY_AND_DISK)  # O(V·replicas); read by the
     cached.append(blocks_assign)  # CSR join, bounds collect, hub lookup
 
+    # shuffle_hash on the O(V·replicas) assignment side: sort-merge would
+    # sort the full (cached) edge table; the hint streams edges in place
+    # and hash-builds the per-partition assignment slice
     if not has_hubs:
         joined = edges.join(
-            blocks_assign.select(F.col("v").alias("src"), "rkey", "block_id"),
+            blocks_assign.select(F.col("v").alias("src"), "rkey", "block_id")
+            .hint("shuffle_hash"),
             "src",
         ).select("block_id", "rkey", "dst")
     else:
         joined = edge_rep.join(
             blocks_assign.select(
                 F.col("v").alias("src"), "replica", "rkey", "block_id"
-            ),
+            ).hint("shuffle_hash"),
             ["src", "replica"],
         ).select("block_id", "rkey", "dst")
 
