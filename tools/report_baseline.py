@@ -116,6 +116,33 @@ def main() -> None:
         "",
     ]
 
+    # per-invocation (within-window) ratios: the merged best-of pairs each
+    # side's fastest-ever leg, which is CONSERVATIVE for the ratio when
+    # the two sides' quiet windows don't coincide — show the distribution
+    runs = sorted(glob.glob(os.path.join(REPO, "BENCH", "scaling_r*.json")))
+    if runs:
+        lines += [
+            "### Per-invocation window ratios",
+            "",
+            "Cross-window best-of (the table above) pairs each side's",
+            "fastest-ever leg; when the host's quiet windows don't coincide",
+            "for both sides, that *understates* the ratio a dedicated",
+            "cluster would show. Individual interleaved invocations (both",
+            "sides measured back-to-back in the same window):",
+            "",
+            "| run | PI loop | MC loop | PI total | MC total |",
+            "|---|---|---|---|---|",
+        ]
+        for rp in runs:
+            with open(rp) as f:
+                r = json.load(f)
+            lines.append(
+                f"| {os.path.basename(rp)} | {r['pi_loop_efficiency']} | "
+                f"{r['mc_loop_efficiency']} | {r['pi_efficiency']} | "
+                f"{r['mc_efficiency']} |"
+            )
+        lines.append("")
+
     rb = load_round_bench()
     if rb:
         rnd, b = rb
