@@ -343,12 +343,12 @@ def pagerank_monte_carlo(
     # side-files (DFS on a real cluster), so the graph never re-crosses
     # the JVM→Arrow boundary per superstep (module docstring, item 2)
     csr_path = os.path.join(store.root, "csr")
-    (
-        csr.repartition(n_parts, "block_id")
-        .write.partitionBy("block_id")
-        .mode("overwrite")
-        .parquet(csr_path)
-    )
+    # NO repartition before the write: the pack kernel's own groupBy
+    # exchange already produced block_id-partitioned output (64 fat rows),
+    # and re-exchanging them shuffles the entire packed CSR (~4.3 GB/TB of
+    # edges) a second time for zero layout benefit — the dynamic-partition
+    # writer handles the ~2 blocks per task directly
+    csr.write.partitionBy("block_id").mode("overwrite").parquet(csr_path)
     warm_csr_workers(spark, csr_path)  # Pregel graph-load: resident
     # caches fill once per worker here, not inside superstep 0
     t_csr = time.time()
