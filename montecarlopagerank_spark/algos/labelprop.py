@@ -57,8 +57,14 @@ def label_propagation(
     )
 
     for it in range(max_iters):
+        # shuffle_hash on the O(V) label side: without the hint the
+        # planner picks sort-merge and re-SORTS the cached O(E) symmetric
+        # edge table every superstep — the repartition above avoids the
+        # per-step exchange but not the sort (same reasoning as the
+        # pagerank_power loop join; labels must also never broadcast —
+        # a driver-serial hash build per superstep at scale)
         nbr_labels = sym.join(
-            labels.withColumnRenamed("v", "u"), "u"
+            labels.withColumnRenamed("v", "u").hint("shuffle_hash"), "u"
         ).select("v", "label")
         # mode with min-label tie-break as a pure hash aggregation:
         # min(struct(-cnt, label)) ≡ row_number over (cnt desc, label asc)

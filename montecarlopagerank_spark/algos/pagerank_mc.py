@@ -90,6 +90,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
+from pyarrow import fs as pafs
 from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -109,28 +110,44 @@ EPS = 0.15
 MAX_CHAINED_BOUNDS = 512
 
 
-def route_expr(rkey_col: Column, bounds: list[int]) -> Column:
-    """block_id for a coupon rkey: the number of block boundaries ≤ rkey,
-    minus one. Blocks pack contiguous rkey ranges (plan_walk_blocks), so
-    this single expression replaces the routing-table join — the routing
-    stage is a narrow map over the coupon scan."""
+def route_expr(
+    rkey_col: Column, bounds: list[int], block_ids: list[int] | None = None
+) -> Column:
+    """ACTUAL block_id for a coupon rkey. ``bounds[i]`` is the min rkey of
+    the block whose id is ``block_ids[i]`` (both ascending). Blocks pack
+    contiguous rkey ranges (plan_walk_blocks), so this single expression
+    replaces the routing-table join — the routing stage is a narrow map
+    over the coupon scan.
+
+    ``block_ids`` matters because planner ids can SKIP values (row weight
+    rsize+1 → the prefix floor-division jumps an id when out_deg ==
+    edges_per_block, and hub replicas can jump further): the CSR
+    side-files are partitioned by the actual ids, so routing by the
+    positional boundary index would address nonexistent block dirs and
+    silently kill those walks (tests/test_pagerank.py::
+    test_route_expr_skipped_block_ids). ``None`` = dense ids 0..B-1."""
+    if block_ids is None:
+        block_ids = list(range(len(bounds)))
     inner = bounds[1:]
     if not inner:
-        return F.lit(0)
+        return F.lit(block_ids[0] if block_ids else 0)
     if len(inner) <= MAX_CHAINED_BOUNDS:
         # FLAT CaseWhen (chained .when on one Column), not nested
         # when().otherwise(when()...): a nested chain recurses once per
         # branch during expression conversion and overflows the JVM stack
         # near ~500 branches (found by test_route_expr_both_paths)
-        expr = F.when(rkey_col < F.lit(inner[0]), F.lit(0))
+        expr = F.when(rkey_col < F.lit(inner[0]), F.lit(block_ids[0]))
         for i in range(1, len(inner)):
-            expr = expr.when(rkey_col < F.lit(inner[i]), F.lit(i))
-        return expr.otherwise(F.lit(len(inner))).cast("int")
-    return F.aggregate(
+            expr = expr.when(rkey_col < F.lit(inner[i]), F.lit(block_ids[i]))
+        return expr.otherwise(F.lit(block_ids[len(inner)])).cast("int")
+    # interpreted fallback: count boundaries ≤ rkey, then map the
+    # positional index through the actual-id array literal
+    pos = F.aggregate(
         F.lit(inner),
         F.lit(0),
         lambda acc, b: acc + F.when(rkey_col >= b, 1).otherwise(0),
-    ).cast("int")
+    )
+    return F.element_at(F.lit(block_ids), pos + 1).cast("int")
 
 
 # Worker-resident CSR blocks: (csr_path, block_id) → (vids, indptr,
@@ -144,16 +161,29 @@ _CSR_CACHE_BYTES = [0]
 _CSR_CACHE_CAP = int(os.environ.get("SPARK_GRAFT_CSR_CACHE_BYTES", 4 << 30))
 
 
+def _resolve_fs(path: str) -> tuple[pafs.FileSystem, str]:
+    """Resolve a CSR root to (pyarrow FileSystem, fs-local path). Plain
+    paths stay on the local FS; URIs (``file://``, ``hdfs://``, ``s3://``)
+    go through ``FileSystem.from_uri`` — this is what makes the worker-
+    resident CSR design work when state lives on DFS (the 10^12-edge
+    deployment shape), not only when executors share the driver's disk."""
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
 def _load_block(csr_path: str, block_id: int):
     key = (csr_path, block_id)
     hit = _CSR_CACHE.get(key)
     if hit is not None:
         _CSR_CACHE.move_to_end(key)
         return hit
-    part = os.path.join(csr_path, f"block_id={block_id}")
-    if not os.path.isdir(part):  # block exists for every routed id by
-        return None  # construction; missing dir ⇒ dangling-only range
-    tbl = pq.read_table(part, columns=["vids", "indptr", "indices"])
+    fs, root = _resolve_fs(csr_path)
+    part = f"{root.rstrip('/')}/block_id={block_id}"
+    if fs.get_file_info(part).type != pafs.FileType.Directory:
+        return None  # block exists for every routed id by construction;
+        # missing dir => dangling-only range
+    tbl = pq.read_table(part, columns=["vids", "indptr", "indices"], filesystem=fs)
     if tbl.num_rows == 0:
         return None
     vids = tbl.column("vids").combine_chunks().values.to_numpy(
@@ -168,10 +198,24 @@ def _load_block(csr_path: str, block_id: int):
     entry = (vids, indptr, indices)
     _CSR_CACHE[key] = entry
     _CSR_CACHE_BYTES[0] += vids.nbytes + indptr.nbytes + indices.nbytes
-    while _CSR_CACHE_BYTES[0] > _CSR_CACHE_CAP and len(_CSR_CACHE) > 1:
-        _, (ov, op, oi) = _CSR_CACHE.popitem(last=False)
-        _CSR_CACHE_BYTES[0] -= ov.nbytes + op.nbytes + oi.nbytes
+    _evict_lru()
     return entry
+
+
+def _evict_lru() -> None:
+    while _CSR_CACHE_BYTES[0] > _CSR_CACHE_CAP and len(_CSR_CACHE) > 1:
+        _, old = _CSR_CACHE.popitem(last=False)
+        _CSR_CACHE_BYTES[0] -= sum(a.nbytes for a in old)
+
+
+def _purge_other_roots(csr_path: str) -> None:
+    """Drop cached blocks belonging to OTHER runs' csr_paths. A long-lived
+    Python worker serving many pagerank_monte_carlo calls would otherwise
+    keep every run's full decoded graph resident (distinct csr_path keys
+    never hit again → unbounded growth past the cap between warm passes)."""
+    for key in [k for k in _CSR_CACHE if k[0] != csr_path]:
+        old = _CSR_CACHE.pop(key)
+        _CSR_CACHE_BYTES[0] -= sum(a.nbytes for a in old)
 
 
 def _preload_all(csr_path: str) -> None:
@@ -182,16 +226,23 @@ def _preload_all(csr_path: str) -> None:
     serves with LRU. On a real cluster the dataset dir holds only the
     executor's shard (stable hash partitioning), so this is the Pregel
     graph-load phase, once per worker, amortized over all supersteps."""
+    _purge_other_roots(csr_path)  # stale runs' graphs must not pile up
+    fs, root = _resolve_fs(csr_path)
     total = 0
-    for dp, _dirs, fs in os.walk(csr_path):
-        for fname in fs:
-            if not fname.startswith("_"):
-                total += os.path.getsize(os.path.join(dp, fname))
+    try:
+        infos = fs.get_file_info(pafs.FileSelector(root, recursive=True))
+    except (FileNotFoundError, OSError):
+        return
+    for info in infos:
+        if info.is_file and not info.base_name.startswith("_"):
+            total += info.size or 0
     if total == 0 or total * 3 > _CSR_CACHE_CAP:  # empty graph, or the
         return  # decoded arrays (≈2-3× zstd parquet) would thrash the LRU
     try:
         tbl = pq.read_table(
-            csr_path, columns=["block_id", "vids", "indptr", "indices"]
+            root,
+            columns=["block_id", "vids", "indptr", "indices"],
+            filesystem=fs,
         )
     except (pa.lib.ArrowInvalid, KeyError, OSError):
         # e.g. a zero-row write leaves a schema-only part file with no
@@ -208,6 +259,8 @@ def _preload_all(csr_path: str) -> None:
         )
         _CSR_CACHE[key] = entry
         _CSR_CACHE_BYTES[0] += sum(a.nbytes for a in entry)
+    _evict_lru()  # same bound as the lazy path (the 3× estimate above is
+    # a heuristic; actual decoded bytes must respect the cap too)
 
 
 def warm_csr_workers(spark: SparkSession, csr_path: str) -> None:
@@ -317,6 +370,7 @@ def pagerank_monte_carlo(
     edges_per_block: int | None = None,
     checkpoint_dir: str | None = None,
     resume: bool = False,
+    state_root: str | None = None,
 ) -> tuple[DataFrame, dict[str, Any]]:
     """Returns (``ranks(v:long, rank:double)``, info). Rank = ζ_v / Σζ.
 
@@ -325,7 +379,14 @@ def pagerank_monte_carlo(
     → the vertex is split across replicas). Default sizes blocks so there
     are ≈ 2 blocks per core slot (min 4k edges/block); the default
     therefore varies with cluster size — pass an explicit value when
-    outputs must be identical across different clusters."""
+    outputs must be identical across different clusters.
+
+    ``state_root`` relocates the scratch state (CSR side-files + per-step
+    coupon tables). It may be a filesystem URI (``file://``, ``hdfs://``,
+    ``s3://``): the workers' resident-CSR reads resolve it through
+    ``pyarrow.fs`` (``_resolve_fs``), so superstep state can live on DFS —
+    the real-cluster deployment shape. Caller owns cleanup of a given
+    root; the default mkdtemp scratch is reclaimed at interpreter exit."""
     t_setup = time.time()
     K = max(walks_per_vertex, 1)  # MonteCarloPageRank.scala:101
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -337,12 +398,13 @@ def pagerank_monte_carlo(
     )
     edges_per_block = plan_meta["edges_per_block"]
     t_plan1 = time.time()
-    store = StateStore(spark)  # flat per-superstep materializer (state.py)
+    # flat per-superstep materializer (state.py)
+    store = StateStore(spark, root=state_root)
     # the loop-invariant CSR goes to block_id-partitioned parquet ONCE;
     # the walk kernel's workers load + cache their blocks from these
     # side-files (DFS on a real cluster), so the graph never re-crosses
     # the JVM→Arrow boundary per superstep (module docstring, item 2)
-    csr_path = os.path.join(store.root, "csr")
+    csr_path = store.root.rstrip("/") + "/csr"
     # NO repartition before the write: the pack kernel's own groupBy
     # exchange already produced block_id-partitioned output (64 fat rows),
     # and re-exchanging them shuffles the entire packed CSR (~4.3 GB/TB of
@@ -353,6 +415,7 @@ def pagerank_monte_carlo(
     # caches fill once per worker here, not inside superstep 0
     t_csr = time.time()
     bounds = plan_meta["bounds"]
+    block_ids = plan_meta["block_ids"]
     has_hubs = plan_meta["has_hubs"]
     if has_hubs:
         # hub replicas are few by definition (out_deg > edges_per_block);
@@ -422,7 +485,7 @@ def pagerank_monte_carlo(
         if has_hubs:
             base = coupons.filter(~F.col("v").isin(hub_ids))
         routed = base.select(
-            route_expr(rkey, bounds).alias("block_id"),
+            route_expr(rkey, bounds, block_ids).alias("block_id"),
             rkey.alias("rkey"),
             "c",
         )

@@ -393,15 +393,25 @@ def q_connected_components_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_label_propagation_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Label community size histogram after ≤10 rounds (rows-only: the
-    round-count at early convergence has no cheap SQL twin; the exact
-    2-round twin is label_propagation_fixed2)."""
+    """Label community size histogram after ≤10 rounds, hash-checked vs a
+    10-round unrolled DuckDB twin (_lpa_sql(10)). The engine may stop
+    early on the nc==0 fixpoint — sound vs a fixed-round twin because a
+    synchronous-LPA fixpoint is stable (no vertex changed ⇒ every further
+    round is the identity), so 10 unrolled SQL rounds reproduce an
+    engine run that converged at any k ≤ 10. String-keyed edges so the
+    min-label tie-break order is directly comparable (the vid-graph run
+    is pinned equal by tests/test_components.py::
+    test_lpa_vid_and_string_histograms_agree)."""
     from montecarlopagerank_spark.algos.labelprop import label_propagation
 
-    edges, vertices, key = _vid_graph(spark, sf_dir)
-    lp = label_propagation(spark, edges, vertices, max_iters=10)
+    e = _string_edges(spark, sf_dir).select("src", "dst")
+    lp = label_propagation(spark, e, max_iters=10)
     sizes = lp.groupBy("label").agg(F.count("*").alias("size"))
-    return sizes.groupBy("size").agg(F.count("*").alias("n_labels"))
+    return (
+        sizes.groupBy("size")
+        .agg(F.count("*").alias("n_labels"))
+        .select(F.col("size").cast("long").alias("size"), "n_labels")
+    )
 
 
 def q_label_propagation_fixed2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -555,14 +565,18 @@ def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing smoke (rows-only: synthetic blobs, stub decode)."""
+    """Multimodal decode (rows-only: numpy features have no SQL twin).
+    Image/audio blobs are VALID BMP/WAV files and get REALLY decoded
+    (header parse → pixel/sample arrays → content features,
+    pipeline/multimodal.py::real_decode); video blobs fall back to the
+    deterministic fake feature, marked decoder='fake' — never silent."""
     from montecarlopagerank_spark.pipeline.multimodal import (
-        fake_decode,
-        synthetic_media,
+        real_decode,
+        synthetic_real_media,
     )
 
-    media = synthetic_media(spark, n=32, parts=4)
-    return fake_decode(media, dim=8).select("media_id", "kind", "n_bytes")
+    media = synthetic_real_media(spark, n=32, parts=4)
+    return real_decode(media).select("media_id", "kind", "n_bytes", "decoder")
 
 
 QUERIES = {
@@ -639,6 +653,7 @@ ORDER BY in_deg DESC, verts.v ASC LIMIT 20
     "pagerank_power_fixed": _pi_sql(5),
     "connected_components_sizes": _cc_sql(24),
     "label_propagation_fixed2": _lpa_sql(2),
+    "label_propagation_sizes": _lpa_sql(10),
     "triangle_count": f"""
 WITH {SQL_TEDGES[1:]},
 und AS (

@@ -302,17 +302,26 @@ def plan_walk_blocks(
     # extra shuffle per step. One small collect at plan time; the boundary
     # count is the block count (sized ~2-3x total cores, so ≤ ~10^4 even on
     # a 1000-executor cluster — fine as a driver list / literal).
-    bounds = [
-        r["lo"]
-        for r in blocks_assign.groupBy("block_id")
+    # NOTE: block ids can SKIP values — row weight is rsize+1, so a vertex
+    # with out_deg == edges_per_block advances the prefix by epb+1 and the
+    # floor-division jumps past an id (hub replicas can jump further via
+    # xxhash64 imbalance). Routing must therefore map a coupon to the
+    # ACTUAL id of its block (these literals), never to the positional
+    # index of its boundary — a positional id would address a nonexistent
+    # CSR side-file and the walks would silently die.
+    brows = (
+        blocks_assign.groupBy("block_id")
         .agg(F.min("rkey").alias("lo"))
         .orderBy("block_id")
         .collect()
-    ]
+    )
+    bounds = [r["lo"] for r in brows]
+    block_ids = [int(r["block_id"]) for r in brows]
     meta = {
         "has_hubs": has_hubs,
         "max_out_deg": int(max_deg),
         "bounds": bounds,
+        "block_ids": block_ids,
         "int32_indices": use_i32,
         "edges_per_block": edges_per_block,
         # src-partitioned cached edge table + O(V) degree table, for

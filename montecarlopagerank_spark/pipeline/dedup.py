@@ -27,6 +27,7 @@ import logging
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from montecarlopagerank_spark.pipeline.textstats import normalized_text
 
@@ -79,9 +80,18 @@ def minhash_signatures(
     xxhash64(shingle, i) — independent-ish hash family, all JVM-side.
     Shape: explode shingles (narrow) → K min() aggregates keyed by doc_id
     (one shuffle, partial agg does most work map-side)."""
-    exploded = shingle_sets(docs, shingle_n).select(
-        "doc_id", F.explode("shingles").alias("sh")
+    return minhash_signatures_from_shingles(
+        shingle_sets(docs, shingle_n), num_hashes
     )
+
+
+def minhash_signatures_from_shingles(
+    sh: DataFrame, num_hashes: int = 64
+) -> DataFrame:
+    """Signatures from an already-built ``(doc_id, shingles)`` table —
+    lets callers that also need the shingle sets for exact-Jaccard verify
+    (``minhash_dedup_pairs``) shingle the corpus exactly once."""
+    exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
     hashed = exploded.select(
         "doc_id",
         *[F.xxhash64("sh", F.lit(i)).alias(f"h{i}") for i in range(num_hashes)],
@@ -203,9 +213,13 @@ def minhash_dedup_pairs(
             "dropped from candidate generation (audit with lsh_bucket_profile)",
             max_bucket_size,
         )
-    sigs = minhash_signatures(docs, num_hashes, shingle_n)
+    # ONE shingling pass: the persisted shingle table feeds both the
+    # signature build and the verify join (unpersisted shapes re-shingled
+    # the corpus twice — a measured 1.5× on the sf0.1 bench). The cache
+    # fills during the caller's single action and both consumers share it.
+    sh = shingle_sets(docs, shingle_n).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = minhash_signatures_from_shingles(sh, num_hashes)
     cands = minhash_lsh_candidates(sigs, bands, rows_per_band, max_bucket_size)
-    sh = shingle_sets(docs, shingle_n)
     a_sh = sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a"))
     b_sh = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(

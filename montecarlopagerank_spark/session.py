@@ -36,8 +36,9 @@ def get_spark(
     if master is None:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        # match parallelism: local[N] -> N shuffle partitions
-        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
+        # match parallelism: local[N] -> N shuffle partitions; local[*] or
+        # a non-local master (no [N]) -> the SPARK_GRAFT_CPUS count
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "*"
         shuffle_partitions = cpus if n == "*" else int(n)
 
     builder = (

@@ -81,3 +81,18 @@ def test_lpa_matches_oracle(spark, two_triangles_bridge):
         max_iters=20,
     )
     assert got == oracle
+
+
+def test_lpa_vid_transcript_graph_matches_oracle(spark):
+    """Long-vid LPA over the real transcript-derived graph vs the pure-
+    python oracle, exactly 10 rounds. Pins the long-key LPA path now that
+    the driver's hash-checked label_propagation_sizes runs on STRING keys
+    (contract.py) — the two keyings produce different tie-break orders
+    (vids rank turn_idx numerically, strings lexically), so each needs its
+    own oracle."""
+    from montecarlopagerank_spark.contract import _vid_graph
+
+    v_edges, _vertices, _key = _vid_graph(spark, "/root/testdata/sf0.001")
+    pairs = [(r["src"], r["dst"]) for r in v_edges.collect()]
+    got = as_dict(label_propagation(spark, v_edges, max_iters=10))
+    assert got == lpa_oracle(pairs, max_iters=10)

@@ -78,3 +78,17 @@ def test_every_oracle_has_query():
     qs, os_ = entry.queries(), entry.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 20
+
+
+def test_mc_pi_agreement_floor(spark):
+    """Pins the floor promised by contract.q_mc_pi_agreement's docstring:
+    the mc_pi_agreement driver query has no SQL oracle (stochastic), so a
+    silent MC quality regression on the transcript graph would otherwise
+    sail through both pytest and the driver. Floor: top-20 overlap ≥ 12,
+    rank correlation ≥ 0.9 at sf0.001 (the reference's own validation
+    methodology, Project Paper/McPageRankSpark.tex:155-167)."""
+    import __spark_entry__ as entry
+
+    row = entry.queries()["mc_pi_agreement"](spark, SF_DIR).collect()[0]
+    assert row["overlap_at_20"] >= 12, row
+    assert row["rank_corr"] >= 0.9, row

@@ -180,3 +180,89 @@ def test_route_expr_both_paths(spark):
         for rk, e in zip(rkeys.tolist(), exp_sub.tolist()):
             assert got[rk] == e, (nb, rk)
     assert expect is not None
+
+
+def test_route_expr_sparse_block_ids(spark):
+    """route_expr must emit the ACTUAL (possibly skipping) planner block
+    ids, not the positional boundary index — positional ids address
+    nonexistent CSR side-files (ADVICE r2, high). Both implementations:
+    chained WHEN and array-fold fallback."""
+    import numpy as np
+
+    from montecarlopagerank_spark.algos import pagerank_mc as m
+
+    rng = np.random.default_rng(11)
+    bounds = sorted({0, *rng.integers(1, 1 << 30, size=600).tolist()})
+    # sparse ids: strictly increasing but with gaps (as the prefix-sum
+    # floor-division produces when a row's weight spans a boundary)
+    block_ids = np.cumsum(rng.integers(1, 4, size=len(bounds))).tolist()
+    rkeys = np.concatenate(
+        [rng.integers(0, 1 << 31, size=200),
+         np.asarray(bounds[:30]),
+         np.asarray([b - 1 for b in bounds[1:30]])]
+    ).astype(np.int64)
+    df = spark.createDataFrame([(int(r),) for r in rkeys], "rkey long")
+    for nb in (len(bounds), 400):  # fallback path; chained path
+        sub_b, sub_i = bounds[:nb], block_ids[:nb]
+        pos = np.searchsorted(np.asarray(sub_b), rkeys, side="right") - 1
+        expect = np.asarray(sub_i)[pos]
+        got = {
+            r["rkey"]: r["b"]
+            for r in df.select(
+                "rkey", m.route_expr(F.col("rkey"), sub_b, sub_i).alias("b")
+            ).collect()
+        }
+        for rk, e in zip(rkeys.tolist(), expect.tolist()):
+            assert got[rk] == e, (nb, rk)
+
+
+def test_mc_skipped_block_id_walks_survive(spark):
+    """A vertex with out_deg == edges_per_block makes the prefix-sum
+    floor-division SKIP a block id (weights 99,101,6 at epb=100 → ids
+    0,0,2). Before the fix, expression routing emitted positional ids, so
+    every coupon of the vertex after the skip was routed to a nonexistent
+    CSR block and silently died — ranks downstream of it were 0."""
+    from montecarlopagerank_spark.operators.adjacency import plan_walk_blocks
+
+    pairs = (
+        [(0, t) for t in range(100, 198)]        # out_deg 98  (weight 99)
+        + [(1, t) for t in range(100, 200)]      # out_deg 100 (weight 101)
+        + [(2, t) for t in range(200, 205)]      # out_deg 5   (weight 6)
+    )
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    # premise guard: the plan really does skip an id at this block size
+    assign, _csr, meta = plan_walk_blocks(edges, edges_per_block=100)
+    ids = meta["block_ids"]
+    for df in meta["cached"]:
+        df.unpersist()
+    assert ids == sorted(ids) and len(ids) >= 2
+    assert ids != list(range(len(ids))), f"premise broken: dense ids {ids}"
+
+    ranks, info = pagerank_monte_carlo(
+        spark, edges, walks_per_vertex=50, iterations=3, edges_per_block=100
+    )
+    got = ranks_dict(ranks)
+    # vertices 200..204 are reachable ONLY via vertex 2 (the post-skip
+    # block); K=50 coupons → P(no arrivals at all) < 1e-30
+    tail = sum(got[t] for t in range(200, 205))
+    assert tail > 0, "walks of the post-skip block silently died"
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+
+
+def test_mc_state_root_file_uri(spark, gnutella_mini, tmp_path):
+    """Worker-resident CSR reads must be filesystem-agnostic: with
+    ``state_root`` given as a ``file://`` URI, every side-file read in the
+    walk kernels goes through pyarrow.fs (pagerank_mc._resolve_fs) instead
+    of os.path — the shape that works when superstep state lives on DFS.
+    Output must be byte-identical to the plain-local-path run."""
+    r_local, _ = pagerank_monte_carlo(
+        spark, gnutella_mini, walks_per_vertex=20, iterations=5, seed=3,
+        edges_per_block=1 << 12,
+    )
+    d_local = ranks_dict(r_local)
+    r_uri, info = pagerank_monte_carlo(
+        spark, gnutella_mini, walks_per_vertex=20, iterations=5, seed=3,
+        edges_per_block=1 << 12, state_root=f"file://{tmp_path}/mc_state",
+    )
+    assert ranks_dict(r_uri) == d_local
+    assert info["total_visits"] > 0
