@@ -26,9 +26,13 @@ shuffle) and runs EXACTLY ONE Spark job: the state write, with the
 convergence delta and next step's dangling mass riding along as
 ``DataFrame.observe`` metrics on the written frame (no separate per-step
 aggregate job — at high core counts a second job's fixed schedule+IO cost
-dominates the superstep and caps scaling efficiency). The state table
-carries (v, dang, rank) so the next superstep needs only one join against
-it (old rank and the dangling flag come for free), not three.
+dominates the superstep and caps scaling efficiency). The state table is
+exactly (v, rank) — the loop-invariant dangling flag lives in a cached
+co-partitioned side table instead, so BOTH per-step consumers of the
+state (the contributions join and the update join) scan the identical
+schema and sit above ONE ReusedExchange (a dang column in the state gave
+the two branches different pruned read schemas, defeating exchange reuse
+and costing a second O(V) state shuffle every superstep).
 """
 
 from __future__ import annotations
@@ -115,13 +119,18 @@ def pagerank_power(
     contrib_edges = contrib_edges.repartition(n_parts, "src").persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    # vertex table with a dangling flag: the flag lives IN the state table
-    # so each superstep's single write job produces BOTH the convergence
-    # delta and the next step's dangling mass via observed metrics (no
-    # per-step lookup job — the reference pays a full lookup(-1) action per
-    # superstep, PowerIterationPageRank.scala:111)
-    vflag = deg.select("v", (F.col("out_deg") == 0).alias("dang")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # loop-invariant dangling flags, cached OUTSIDE the state table (see
+    # module docstring: a dang column in the state breaks exchange reuse).
+    # The explicit repartition at the cache boundary makes hash(v)
+    # partitioning visible through the cache (AQE hides it otherwise), so
+    # the per-step flag join is exchange-free; the superstep's single
+    # write job still yields the next dangling mass as an observed metric
+    # (no per-step lookup job — the reference pays a full lookup(-1)
+    # action per superstep, PowerIterationPageRank.scala:111)
+    vflag = (
+        deg.select("v", (F.col("out_deg") == 0).alias("dang"))
+        .repartition(n_parts, "v")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     contrib_edges.count()  # materialize the loop-invariant cache in setup,
     # not inside step 0's job (keeps per-step times honest and steady)
@@ -150,8 +159,8 @@ def pagerank_power(
             last = ckpt.last_complete_step()
             if last is not None:
                 state = ckpt.load_tables(last, ["state"])["state"].select(
-                    "v", "dang", "rank"
-                )
+                    "v", "rank"  # pre-upgrade checkpoints carry an extra
+                )  # dang column; the select keeps resume compatible
                 man = ckpt.manifest(last) or {}
                 deltas = list(man.get("metrics", {}).get("deltas", []))
                 m = man.get("metrics", {}).get("next_dangling_mass")
@@ -165,12 +174,12 @@ def pagerank_power(
             ckpt.clear()
     if start_step == 0:
         state = store.materialize(
-            vflag.select("v", "dang", (F.lit(1.0) / n).alias("rank"))
+            vflag.select("v", (F.lit(1.0) / n).alias("rank"))
         )
         m = n_dangling / n  # uniform init → closed-form dangling mass
     if m is None:  # resumed from a pre-upgrade manifest: one recovery job
         m = (
-            state.filter("dang")
+            state.join(vflag.filter("dang").hint("shuffle_hash"), "v")
             .agg(F.sum("rank").alias("m")).collect()[0]["m"] or 0.0
         )
 
@@ -180,37 +189,58 @@ def pagerank_power(
     t_loop = time.time()
     for it in range(start_step, max_iters):
         t_step = time.time()
+        # ONE state exchange per superstep: the freshly-read (v, rank)
+        # state is repartitioned by v ONCE and BOTH consumers — the
+        # contributions join and the update join — share the exchange
+        # (AQE reuses the identical shuffle stage; the state parquet is
+        # scanned once per step, verified in the executed plan). Two
+        # things make the subtrees identical: (1) the joins use EXPLICIT
+        # column conditions, never a rename over ``st`` — an alias
+        # project (v AS src / rank AS old_rank) gets pushed below the
+        # RepartitionByExpression and de-unifies the branches; renames
+        # happen above the joins instead; (2) the state schema is exactly
+        # the columns both branches consume, so column pruning cannot
+        # differentiate the scans (the inner vflag join infers
+        # isnotnull(v) on the update branch, matching the contributions
+        # branch's inner-join filter). Before this, the two joins
+        # exchanged the O(V) state independently (by src, then by v) — a
+        # third O(V) exchange per step that capped N-vs-4N loop
+        # efficiency. The update join is exchange-FREE: state via the
+        # reused exchange, contributions from the final hash-aggregate,
+        # dangling flags from the co-partitioned cache — all
+        # hash(v, n_parts)-partitioned.
+        st = state.repartition(n_parts, "v")
         # shuffle_hash hints: the rank vector is O(n) and must NEVER be
         # broadcast (a driver-serial hash build per superstep — measured
         # to flatline core-scaling once n·16B slips under the broadcast
-        # threshold). SHJ shuffles only the rank side (edges stay put,
-        # pre-partitioned by src) and builds per-partition hash tables in
+        # threshold). SHJ streams the cached edges in place (no edge sort,
+        # no edge exchange) and builds per-partition hash tables in
         # parallel — the plan that survives a 100× scale-up.
         contribs = (
             contrib_edges.join(
-                state.select(F.col("v").alias("src"), "rank").hint("shuffle_hash"),
-                "src",
+                st.hint("shuffle_hash"), contrib_edges["src"] == st["v"]
             )
             .select(
-                F.col("dst").alias("v"),
+                F.col("dst").alias("vc"),
                 (F.col("rank") * F.col("inv_deg")).alias("mass"),
             )
-            .groupBy("v")
+            .groupBy("vc")
             .agg(F.sum("mass").alias("mass"))  # partial+final hash agg
         )
         base = eps / n + (1.0 - eps) * m / n
-        # the state table carries (dang, old rank), so ONE join yields the
-        # new rank, the dangling flag, and the per-vertex delta together
+        # ONE update join yields the new rank and per-vertex delta; the
+        # dangling flag for the observed mass metric comes from the cached
+        # co-partitioned vflag (exchange-free SHJ build of O(V) booleans)
         joined = (
-            state.withColumnRenamed("rank", "old_rank")
-            .join(contribs.hint("shuffle_hash"), "v", "left")
+            st.join(contribs.hint("shuffle_hash"), st["v"] == contribs["vc"], "left")
+            .join(vflag.hint("shuffle_hash"), st["v"] == vflag["v"])
             .select(
-                "v", "dang",
+                st["v"].alias("v"), vflag["dang"].alias("dang"),
                 (
                     F.lit(base)
                     + F.lit(1.0 - eps) * F.coalesce(F.col("mass"), F.lit(0.0))
                 ).alias("rank"),
-                "old_rank",
+                st["rank"].alias("old_rank"),
             )
             .withColumn("dv", F.abs(F.col("rank") - F.col("old_rank")))
         )
@@ -221,7 +251,7 @@ def pagerank_power(
             obs,
             F.max("dv").alias("d"),
             F.sum(F.when(F.col("dang"), F.col("rank"))).alias("m"),
-        ).select("v", "dang", "rank")
+        ).select("v", "rank")
         if ckpt:
             # parquet write = the step's ONE (and only) job; manifest commits after
             staged = ckpt.save_step(

@@ -183,11 +183,32 @@ TIME_KEYS = [
 ]
 
 
+def window_efficiencies(low: dict, high: dict, factor: float) -> dict:
+    """Efficiency ratios for ONE window: this window's low and high legs
+    were measured back-to-back, so host-noise drift cancels inside the
+    ratio. Cross-window ratios (best-of numerator over best-of
+    denominator from different windows) systematically UNDERSTATE
+    scaling on a drifting host — the low leg gets more chances to catch
+    a quiet window than the short high leg does — so the headline
+    efficiency is the median of these per-window ratios, never a
+    cross-window quotient."""
+    out = {}
+    for job in ("pi", "mc"):
+        for kind in ("", "_loop"):
+            k = f"{job}{kind}_secs"
+            out[f"{job}{kind}_efficiency"] = round(
+                (low[k] / high[k]) / factor, 3)
+            out[f"low_{k}"] = low[k]
+            out[f"high_{k}"] = high[k]
+    return out
+
+
 def merge_best(runs: list[dict], pi_steps: int) -> dict:
-    """Best-of-N per timing metric (interleaved repeats defend the
-    efficiency ratio against host noise — a single slow window would
-    otherwise poison one level and fake/hide a scaling gap). Output
-    checksums must be identical across repeats (determinism)."""
+    """Best-of-N per timing metric for the per-level THROUGHPUT numbers
+    (the fastest observed run is the best estimate of the machine's
+    capability). Efficiency ratios do NOT come from these merged
+    timings — see window_efficiencies. Output checksums must be
+    identical across repeats (determinism)."""
     for r in runs[1:]:
         assert r["pi_check"] == runs[0]["pi_check"], "PI output drifted"
         assert r["mc_check"] == runs[0]["mc_check"], "MC output drifted"
@@ -242,21 +263,30 @@ def main() -> None:
     low = merge_best(lows, args.pi_steps)
     high = merge_best(highs, args.pi_steps)
     factor = args.n_high / args.n_low
+    windows = [window_efficiencies(lo, hi, factor)
+               for lo, hi in zip(lows, highs)]
+    import statistics
     report = {
         "edges": low["edges"],
         "low": low,
         "high": high,
         "identical_pi_output": low["pi_check"] == high["pi_check"],
         "identical_mc_output": low["mc_check"] == high["mc_check"],
+        # per-window ratios (low/high legs back-to-back within a window);
+        # the headline efficiency below is their MEDIAN — see
+        # window_efficiencies for why cross-window quotients are biased
+        "windows": windows,
+        "efficiency_method": (
+            "median of per-window ratios; each window's N and 4N legs "
+            "run back-to-back so host drift cancels inside the ratio"),
         # end-to-end (includes one-time setup) and steady-state superstep
-        # throughput; the steady-state number is the one that matters at
+        # efficiency; the steady-state number is the one that matters at
         # 10^12-turn scale where supersteps dominate run time
-        "pi_efficiency": round(high["pi_eps"] / (factor * low["pi_eps"]), 3),
-        "mc_efficiency": round(high["mc_eps"] / (factor * low["mc_eps"]), 3),
-        "pi_loop_efficiency": round(
-            high["pi_loop_eps"] / (factor * low["pi_loop_eps"]), 3),
-        "mc_loop_efficiency": round(
-            high["mc_loop_eps"] / (factor * low["mc_loop_eps"]), 3),
+        **{
+            f"{job}{kind}_efficiency": round(statistics.median(
+                w[f"{job}{kind}_efficiency"] for w in windows), 3)
+            for job in ("pi", "mc") for kind in ("", "_loop")
+        },
     }
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:

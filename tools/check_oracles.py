@@ -41,6 +41,9 @@ def main() -> int:
 
     spark = get_spark(app_name="check-oracles")
     con = duckdb.connect()
+    # 32 threads makes DuckDB's unrolled-CTE oracles OOM on tiny (260KB)
+    # block allocations on this host even with 100G free; 8-16 is stable
+    con.execute("SET threads=8")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):

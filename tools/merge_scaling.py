@@ -1,15 +1,16 @@
-"""Merge several bench_scaling.py run files into one best-of report.
+"""Merge several bench_scaling.py run files into one report.
 
 Repeats of the identical deterministic job may be collected across
 multiple harness invocations (e.g. spread over a day to sample different
-host-noise windows). This merges them with exactly the harness's own
-best-of-N-per-timing-metric semantics (tools/bench_scaling.py
-merge_best): per level, take the minimum of each timing metric across
-all runs, assert the output checksums are identical (the job is
-deterministic, so any drift means the runs are not comparable), and
-recompute throughput + efficiency from the merged timings. n_repeats in
-the output is the TOTAL repeat count folded in, so the provenance of the
-number is visible in the artifact.
+host-noise windows). Per-level THROUGHPUT blocks fold with the
+harness's best-of-N-per-timing-metric semantics (tools/bench_scaling.py
+merge_best); the headline EFFICIENCY ratios are recomputed as the
+median over the union of all per-window ratios (each window's two legs
+were measured back-to-back inside one invocation — only those ratios
+are meaningful, see bench_scaling.window_efficiencies). Output checksums
+must be identical across runs (the job is deterministic, so any drift
+means the runs are not comparable). n_repeats in the output is the
+TOTAL repeat count folded in, so the provenance is visible.
 
 Usage::
 
@@ -45,12 +46,14 @@ def merge_reports(reports: list[dict]) -> dict:
         best["mc_loop_eps"] = round(
             best["edges"] * best["mc_steps"] / best["mc_loop_secs"], 1)
         best["n_repeats"] = sum(r["n_repeats"] for r in runs)
-    factor = base["high"]["cores"] / base["low"]["cores"]
+    import statistics
+    windows = [w for r in reports for w in r.get("windows", [])]
+    assert windows, "no per-window ratios to merge (pre-upgrade artifacts?)"
+    base["windows"] = windows
     for kind in ("", "_loop"):
         for job in ("pi", "mc"):
-            hi = base["high"][f"{job}{kind}_eps"]
-            lo = base["low"][f"{job}{kind}_eps"]
-            base[f"{job}{kind}_efficiency"] = round(hi / (factor * lo), 3)
+            base[f"{job}{kind}_efficiency"] = round(statistics.median(
+                w[f"{job}{kind}_efficiency"] for w in windows), 3)
     base["identical_pi_output"] = (
         base["low"]["pi_check"] == base["high"]["pi_check"])
     base["identical_mc_output"] = (
