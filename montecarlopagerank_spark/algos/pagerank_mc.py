@@ -229,6 +229,7 @@ def _preload_all(csr_path: str) -> None:
     _purge_other_roots(csr_path)  # stale runs' graphs must not pile up
     fs, root = _resolve_fs(csr_path)
     total = 0
+    dir_ids: set[int] = set()
     try:
         infos = fs.get_file_info(pafs.FileSelector(root, recursive=True))
     except (FileNotFoundError, OSError):
@@ -236,8 +237,14 @@ def _preload_all(csr_path: str) -> None:
     for info in infos:
         if info.is_file and not info.base_name.startswith("_"):
             total += info.size or 0
+            seg = info.path.rsplit("/", 2)[-2]
+            if seg.startswith("block_id="):
+                dir_ids.add(int(seg.split("=", 1)[1]))
     if total == 0 or total * 3 > _CSR_CACHE_CAP:  # empty graph, or the
         return  # decoded arrays (≈2-3× zstd parquet) would thrash the LRU
+    if dir_ids and all((csr_path, b) in _CSR_CACHE for b in dir_ids):
+        return  # already warm: a repeat warm pass (or a warm task landing
+        # on an already-warm worker) must not re-decode the whole dataset
     try:
         tbl = pq.read_table(
             root,
@@ -272,7 +279,19 @@ def warm_csr_workers(spark: SparkSession, csr_path: str) -> None:
     and only 1.65× at 2 cores). Warm wall-time is ≈ constant in core
     count: all slots load concurrently. Workers the pass happens to miss
     (or later evictions) fall back to lazy per-block loads."""
-    n_slots = spark.sparkContext.defaultParallelism
+    # ONE task per actual core slot — NOT defaultParallelism, which the
+    # session pins to the shuffle-partition count independent of cluster
+    # size. With defaultParallelism tasks the warm job cost was
+    # slots-invariant (32 tasks × full-graph decode at every cluster
+    # size: a pure anti-scaling term measured at 23-38s of MC setup on a
+    # 100M-edge graph); with totalCores tasks it is one decode wave at
+    # any size (~2s, and the repeat-warm guard in _preload_all makes
+    # tasks that land on an already-warm worker near-free).
+    sc = spark.sparkContext
+    try:
+        n_slots = int(sc._jsc.sc().schedulerBackend().totalCores())
+    except Exception:  # non-standard backend: fall back, over-warming is
+        n_slots = sc.defaultParallelism  # correct (just slower)
 
     def warm(batches):
         _preload_all(csr_path)
@@ -410,7 +429,14 @@ def pagerank_monte_carlo(
     # and re-exchanging them shuffles the entire packed CSR (~4.3 GB/TB of
     # edges) a second time for zero layout benefit — the dynamic-partition
     # writer handles the ~2 blocks per task directly
-    csr.write.partitionBy("block_id").mode("overwrite").parquet(csr_path)
+    # snappy for the side-files: they're scratch (read back by every
+    # worker's resident-cache load), and snappy halves the encode CPU in
+    # the 32 pack tasks for ~1.33× bytes — the right trade for a file
+    # whose lifetime is one run and whose read path is decode-bound
+    csr.write.option("compression", "snappy").partitionBy(
+        "block_id"
+    ).mode("overwrite").parquet(csr_path)
+    t_write = time.time()
     warm_csr_workers(spark, csr_path)  # Pregel graph-load: resident
     # caches fill once per worker here, not inside superstep 0
     t_csr = time.time()
@@ -568,7 +594,8 @@ def pagerank_monte_carlo(
         # (the O(E) part); rest = hub collect + init-coupon write
         "setup_phases": {
             "plan": round(t_plan1 - t_plan0, 3),
-            "csr_write": round(t_csr - t_plan1, 3),
+            "csr_write": round(t_write - t_plan1, 3),
+            "warm": round(t_csr - t_write, 3),
             "rest": round(t_loop - t_csr, 3),
         },
     }

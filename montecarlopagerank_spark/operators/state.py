@@ -66,7 +66,11 @@ class StateStore:
         DataFrame (lineage truncated, plan = fresh parquet scan)."""
         seq = self._seq.get(name, 0)
         path = os.path.join(self.root, f"{name}_{seq % 2}")
-        df.write.mode("overwrite").parquet(path)
+        # snappy, not the session's zstd: scratch slots live for exactly
+        # one superstep (usually on tmpfs/local disk) — encode CPU in the
+        # per-step write job matters, storage density doesn't (measured
+        # ~2× faster encode for ~1.33× bytes on CSR-shaped data)
+        df.write.option("compression", "snappy").mode("overwrite").parquet(path)
         self._seq[name] = seq + 1
         return self.spark.read.parquet(path)
 

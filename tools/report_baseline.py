@@ -70,15 +70,22 @@ def main() -> None:
         "  JVM, fresh Python workers, empty storage pool) — as a real",
         "  deployment runs each job as its own spark-submit application.",
         "  Repeats are interleaved per job (PI@N, PI@4N, MC@N, MC@4N), so",
-        "  both sides of each ratio are measured back-to-back; best-of-"
-        f"{lo.get('n_repeats', 1)} per",
-        "  timing defends the ratio against host noise (repeats may span",
-        "  several harness invocations, folded by tools/merge_scaling.py).",
+        "  both sides of each ratio are measured back-to-back inside one",
+        "  noise window; the headline efficiency is the MEDIAN of the",
+        f"  {len(s.get('windows', []))} per-window ratios (cross-window"
+        " quotients are biased on a",
+        "  drifting host — the longer leg samples more quiet windows).",
+        "  Windows may span several harness invocations, folded by",
+        "  tools/merge_scaling.py. Throughput cells below are best-of-"
+        f"{lo.get('n_repeats', 1)}",
+        "  per level (fastest observed = the machine's capability).",
         "* Outputs must be byte-identical across levels (block-seeded RNG →",
         "  parallelism-invariant MC): "
         f"PI identical = `{s['identical_pi_output']}`, "
         f"MC identical = `{s['identical_mc_output']}`.",
-        "* efficiency = throughput(4N) / (4 × throughput(N)).",
+        "* efficiency = median over windows of",
+        "  (secs(N) / secs(4N)) / 4 — i.e. throughput(4N) /",
+        "  (4 × throughput(N)) with both throughputs from the same window.",
         "",
         "## Results (steady-state superstep loop)",
         "",
@@ -116,30 +123,25 @@ def main() -> None:
         "",
     ]
 
-    # per-invocation (within-window) ratios: the merged best-of pairs each
-    # side's fastest-ever leg, which is CONSERVATIVE for the ratio when
-    # the two sides' quiet windows don't coincide — show the distribution
-    runs = sorted(glob.glob(os.path.join(REPO, "BENCH", "scaling_r*.json")))
-    if runs:
+    # the per-window ratios behind the medians — full distribution, so the
+    # headline number's provenance is auditable from the markdown alone
+    windows = s.get("windows", [])
+    if windows:
         lines += [
-            "### Per-invocation window ratios",
+            "### Per-window ratios (the distribution behind the medians)",
             "",
-            "Cross-window best-of (the table above) pairs each side's",
-            "fastest-ever leg; when the host's quiet windows don't coincide",
-            "for both sides, that *understates* the ratio a dedicated",
-            "cluster would show. Individual interleaved invocations (both",
-            "sides measured back-to-back in the same window):",
+            "Each row is one interleaved window: both cluster sizes",
+            "measured back-to-back, so host drift cancels inside the",
+            "ratio. The headline table takes the median of each column.",
             "",
-            "| run | PI loop | MC loop | PI total | MC total |",
+            "| window | PI loop | MC loop | PI total | MC total |",
             "|---|---|---|---|---|",
         ]
-        for rp in runs:
-            with open(rp) as f:
-                r = json.load(f)
+        for i, w in enumerate(windows):
             lines.append(
-                f"| {os.path.basename(rp)} | {r['pi_loop_efficiency']} | "
-                f"{r['mc_loop_efficiency']} | {r['pi_efficiency']} | "
-                f"{r['mc_efficiency']} |"
+                f"| {i} | {w['pi_loop_efficiency']} | "
+                f"{w['mc_loop_efficiency']} | {w['pi_efficiency']} | "
+                f"{w['mc_efficiency']} |"
             )
         lines.append("")
 
