@@ -22,14 +22,15 @@ vertex (the reference's ``0 to currentCount`` inclusive loop inflates by
 one trial per occupied vertex per step) and exactly ``iterations``
 supersteps.
 
-Scale shape — each superstep runs EXACTLY ONE Spark job of THREE stages:
+Scale shape — each superstep runs EXACTLY ONE Spark job with EXACTLY ONE
+shuffle (the scratch fast path; the checkpointed durable path pays two):
 
-1. coupon scan + **expression block routing** + exchange by block_id.
-   CSR blocks pack contiguous rkey ranges (operators/adjacency.py), so a
-   coupon's block is a pure chained-comparison expression over the block
-   boundaries — no routing-table join, no second exchange (a measured
-   6 s/step of interpreted lookup CPU at 20M edges before this design);
-2. grouped-map walk kernel over the routed coupons. The graph itself is
+1. grouped-map walk kernel directly over the superstep state, which is
+   ``localCheckpoint``-materialized ALREADY hash(block_id)-partitioned —
+   lineage is truncated but the partitioning survives (the loop runs
+   with AQE off: adaptive planning hides a checkpointed RDD's
+   partitioning and would re-exchange it every step; the loop is fully
+   static so AQE has nothing to add). The graph itself is
    **worker-resident**: CSR blocks are written ONCE at setup as parquet
    side-files partitioned by block_id, and each reused Python worker
    lazily loads + caches the blocks it serves (``_CSR_CACHE``). Earlier
@@ -43,15 +44,27 @@ Scale shape — each superstep runs EXACTLY ONE Spark job of THREE stages:
    the side-file read is a one-time DFS fetch per worker, amortized
    across all supersteps of all queries. The kernel is ``applyInArrow``
    with int32 neighbour ids when the vertex space fits;
-3. final groupBy(dst) coalescing + state write, with the surviving-walk
-   total riding the write as an observed metric (extinction check without
-   a separate ``isEmpty`` job).
+2. arrivals route to THEIR OWN blocks — a vertex's block is a pure
+   chained-comparison **expression** over the block boundaries
+   (``route_expr``, no routing-table join) — and ONE exchange by
+   block_id both coalesces them (the (block_id, rkey) aggregate runs on
+   hash(block_id) partitioning: clustering by a superset of the
+   partition key needs no second exchange) and pre-positions them for
+   the next superstep's kernel. The surviving-walk total rides this same
+   job as an observed metric (extinction check without an ``isEmpty``
+   job).
+
+With ``checkpoint_dir`` the state goes to parquet per step instead
+(durable, resumable) — parquet erases partitioning, so that path pays
+the classic two exchanges per step (groupBy(dst) coalesce + next step's
+routing exchange), the price of durability.
 
 ζ is NOT re-aggregated per step (the reference's ``union+reduceByKey``
 over the full visit history, MonteCarloPageRank.scala:122, doubles
 per-step shuffle volume); each step's arrivals are already materialized
-as that step's coupon table, and ζ = one groupBy-sum over the union of
-all step tables at the end.
+as that step's state table, and ζ = one groupBy-sum over the union of
+all step tables at the end (fast-path states are keyed by replica rkey;
+v = rkey >> REPLICA_BITS folds hub replicas back together).
 
 Skew (north_star "hub vertices split across ≥2 blocks"): the block plan
 (operators/adjacency.py::plan_walk_blocks) splits any vertex whose
@@ -467,9 +480,64 @@ def pagerank_monte_carlo(
         .distinct()
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
+    def _routed(arr: DataFrame, route_step: int) -> DataFrame:
+        """(v, c) rows → (block_id, rkey, c). Duplicate v rows are allowed
+        (the fast path's arrivals carry one row per emitting block).
+        Non-hub rows route via the pure boundary expression; hub rows are
+        totalled per vertex first — the multinomial must split each
+        vertex's TOTAL exactly once — then split across replicas
+        (seeded per (seed, route_step, v), so the fast path's
+        route-at-production and the durable path's route-at-consumption
+        draw the same splits for the same logical superstep)."""
+        rkey = F.shiftleft(F.col("v"), REPLICA_BITS)
+        base = arr
+        if has_hubs:
+            base = arr.filter(~F.col("v").isin(hub_ids))
+        r = base.select(
+            route_expr(rkey, bounds, block_ids).alias("block_id"),
+            rkey.alias("rkey"),
+            "c",
+        )
+        if has_hubs:
+            split = (
+                arr.filter(F.col("v").isin(hub_ids))
+                .groupBy("v").agg(F.sum("c").alias("c"))
+                .join(F.broadcast(hub_reps), "v")
+                .select("v", "block_id", "rkey", "rsize", "c")
+                .groupBy("v")
+                .applyInPandas(
+                    _route_kernel(seed, route_step),
+                    schema="block_id int, rkey long, c long",
+                )
+            )
+            r = r.unionByName(split)
+        return r
+
+    def _build_state(r: DataFrame, obs: Observation | None) -> DataFrame:
+        """Fast-path superstep state: routed rows → ONE exchange by
+        block_id; the (block_id, rkey) coalescing aggregate runs on that
+        same partitioning (hash(block_id) clusters every (block_id, rkey)
+        pair — no second exchange), the surviving-walk total rides the
+        materializing job as an observed metric, and ``localCheckpoint``
+        truncates lineage while PRESERVING the partitioning, so the next
+        superstep's grouped-map kernel consumes it exchange-free. This is
+        why the loop runs with AQE off: an adaptive plan hides the
+        checkpointed RDD's partitioning and re-exchanges it every step
+        (the loop is fully static — fixed partition count, hinted joins —
+        so AQE has nothing to add here)."""
+        st = (
+            r.repartition(n_parts, "block_id")
+            .groupBy("block_id", "rkey")
+            .agg(F.sum("c").alias("c"))
+        )
+        if obs is not None:
+            st = st.observe(obs, F.sum("c").alias("total"))
+        return st.localCheckpoint()
+
     ckpt = None
     start_step = 0
     step_coupons: list[DataFrame] = []  # arrivals per superstep (+ init ζ=K)
+    step_states: list[DataFrame] = []  # fast path: (block_id, rkey, c)
     if checkpoint_dir:
         ckpt = CheckpointManager(
             spark, checkpoint_dir,
@@ -486,15 +554,22 @@ def pagerank_monte_carlo(
                 start_step = last + 1
         else:
             ckpt.clear()
+    fast = ckpt is None  # scratch path: in-memory partition-preserving
+    # superstep chain (see _build_state); the durable path keeps the
+    # parquet-per-step flow so checkpoints stay resumable files
+    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    if fast:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     if start_step == 0:
         init = verts.select("v", F.lit(int(K)).cast("long").alias("c"))
         if ckpt:
             coupons = ckpt.save_step(-1, {"coupons": init}, {"init": True})[
                 "coupons"
             ]
+            step_coupons = [coupons]
         else:
-            coupons = store.materialize(init, "coupons_init")
-        step_coupons = [coupons]
+            state = _build_state(_routed(init, 0), None)
+            step_states = [state]
 
     for df in plan_meta["cached"]:  # planner pins (edges exchange, degree
         df.unpersist()  # table, block assignment) end with setup — the
@@ -502,62 +577,85 @@ def pagerank_monte_carlo(
     steps_run = start_step
     step_secs: list[float] = []  # per-superstep wall time (diagnostic)
     t_loop = time.time()
-    for step in range(start_step, iterations):
-        t_step = time.time()
-        # narrow expression routing: coupon → (block_id, rkey) with zero
-        # joins; hub coupons peel off to the multinomial splitter
-        rkey = F.shiftleft(F.col("v"), REPLICA_BITS)
-        base = coupons
-        if has_hubs:
-            base = coupons.filter(~F.col("v").isin(hub_ids))
-        routed = base.select(
-            route_expr(rkey, bounds, block_ids).alias("block_id"),
-            rkey.alias("rkey"),
-            "c",
-        )
-        if has_hubs:
-            split = (
-                coupons.filter(F.col("v").isin(hub_ids))
-                .join(F.broadcast(hub_reps), "v")
-                .select("v", "block_id", "rkey", "rsize", "c")
-                .groupBy("v")
-                .applyInPandas(
-                    _route_kernel(seed, step), schema="block_id int, rkey long, c long"
+    try:
+        for step in range(start_step, iterations):
+            t_step = time.time()
+            obs = Observation(f"mc_step_{step}")
+            if fast:
+                # ONE exchange per superstep: the state is already
+                # hash(block_id)-partitioned (localCheckpoint preserves the
+                # previous step's exchange), so the walk kernel runs in place;
+                # arrivals route to THEIR OWN blocks (a vertex's block is a
+                # pure function of its rkey) and the single repartition both
+                # coalesces and pre-positions them for the next step. The
+                # durable path below pays two exchanges (groupBy(dst) + next
+                # step's routing) because parquet erases partitioning.
+                moved = state.groupBy("block_id").applyInArrow(
+                    _walk_kernel(csr_path, eps, seed, step),
+                    schema="dst long, cnt long",
                 )
-            )
-            routed = routed.unionByName(split)
-        moved = routed.groupBy("block_id").applyInArrow(
-            _walk_kernel(csr_path, eps, seed, step), schema="dst long, cnt long"
-        )
-        # global coalescing: partial+final hash agg (reference reduceByKey
-        # :119) — this is also the re-reduce of hub-replica partials
-        new_coupons = (
-            moved.groupBy(F.col("dst").alias("v")).agg(F.sum("cnt").alias("c"))
-        )
-        # surviving-walk total rides the write job as an observed metric —
-        # the extinction check costs no extra job (vs the old isEmpty())
-        obs = Observation(f"mc_step_{step}")
-        observed = new_coupons.observe(obs, F.sum("c").alias("total"))
-        if ckpt:
-            coupons = ckpt.save_step(
-                step, {"coupons": observed}, {"superstep": step}
-            )["coupons"]
-        else:
-            coupons = store.materialize(observed, f"coupons_{step}")
-        step_coupons.append(coupons)
-        steps_run = step + 1
-        step_secs.append(round(time.time() - t_step, 3))
-        if int(obs.get["total"] or 0) == 0:  # extinction — nothing to walk
-            break
+                state = _build_state(
+                    _routed(
+                        moved.select(
+                            F.col("dst").alias("v"), F.col("cnt").alias("c")
+                        ),
+                        step + 1,  # consumed by the NEXT superstep
+                    ),
+                    obs,
+                )
+                step_states.append(state)
+            else:
+                # narrow expression routing: coupon → (block_id, rkey) with
+                # zero joins; hub coupons peel off to the multinomial splitter
+                routed = _routed(coupons, step)
+                moved = routed.groupBy("block_id").applyInArrow(
+                    _walk_kernel(csr_path, eps, seed, step),
+                    schema="dst long, cnt long",
+                )
+                # global coalescing: partial+final hash agg (reference
+                # reduceByKey :119) — also the re-reduce of hub partials
+                new_coupons = (
+                    moved.groupBy(F.col("dst").alias("v"))
+                    .agg(F.sum("cnt").alias("c"))
+                )
+                # surviving-walk total rides the write job as an observed
+                # metric — extinction check costs no extra job
+                observed = new_coupons.observe(obs, F.sum("c").alias("total"))
+                coupons = ckpt.save_step(
+                    step, {"coupons": observed}, {"superstep": step}
+                )["coupons"]
+                step_coupons.append(coupons)
+            steps_run = step + 1
+            step_secs.append(round(time.time() - t_step, 3))
+            if int(obs.get["total"] or 0) == 0:  # extinction — nothing to walk
+                break
+    finally:
+        if fast:  # never leak AQE-off into the caller's session
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
 
     t_loop_end = time.time()
-    # ζ = K + Σ arrivals: ONE union+groupBy over the per-step tables (each
-    # already parquet-backed), not a per-step re-aggregation; Σζ rides the
-    # visits write as an observed metric
-    all_arrivals = reduce(
-        DataFrame.unionByName,
-        [df.select("v", F.col("c").alias("z")) for df in step_coupons],
-    )
+    # ζ = K + Σ arrivals: ONE union+groupBy over the per-step tables, not
+    # a per-step re-aggregation; Σζ rides the visits write as an observed
+    # metric. Fast-path states are keyed by replica rkey — v = rkey >>
+    # REPLICA_BITS folds hub replicas back together (the multinomial
+    # conserves each vertex's total, so per-v sums equal the durable
+    # path's exactly)
+    if fast:
+        all_arrivals = reduce(
+            DataFrame.unionByName,
+            [
+                df.select(
+                    F.shiftright("rkey", REPLICA_BITS).alias("v"),
+                    F.col("c").alias("z"),
+                )
+                for df in step_states
+            ],
+        )
+    else:
+        all_arrivals = reduce(
+            DataFrame.unionByName,
+            [df.select("v", F.col("c").alias("z")) for df in step_coupons],
+        )
     obs_total = Observation("mc_total")
     visits = store.materialize(
         all_arrivals.groupBy("v")

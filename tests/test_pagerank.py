@@ -266,3 +266,45 @@ def test_mc_state_root_file_uri(spark, gnutella_mini, tmp_path):
     )
     assert ranks_dict(r_uri) == d_local
     assert info["total_visits"] > 0
+
+
+def test_preload_all_skips_when_warm(tmp_path, monkeypatch):
+    """Repeat warms must not re-read the dataset: _preload_all
+    short-circuits when every block dir is already resident (a warm task
+    landing on an already-warm worker used to pay a full re-decode —
+    ~25s on a 100M-edge graph). Pure pyarrow, no Spark session."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from montecarlopagerank_spark.algos import pagerank_mc as mc
+
+    root = str(tmp_path / "csr")
+    for bid in (0, 2):  # sparse ids, like the real planner's
+        d = tmp_path / "csr" / f"block_id={bid}"
+        d.mkdir(parents=True)
+        pq.write_table(
+            pa.table({
+                "vids": [[bid << 8, (bid << 8) + 1]],
+                "indptr": [[0, 1, 2]],
+                "indices": [[(bid << 8) + 1, bid << 8]],
+            }),
+            str(d / "part-0.parquet"),
+        )
+    mc._purge_other_roots("__nothing__")  # clean slate for this root
+    calls = {"n": 0}
+    real_read = pq.read_table
+
+    def counting_read(*a, **k):
+        calls["n"] += 1
+        return real_read(*a, **k)
+
+    monkeypatch.setattr(mc.pq, "read_table", counting_read)
+    mc._preload_all(root)
+    assert calls["n"] == 1
+    assert (root, 0) in mc._CSR_CACHE and (root, 2) in mc._CSR_CACHE
+    mc._preload_all(root)  # second warm: guard fires, zero reads
+    assert calls["n"] == 1
+    # evicting one block re-arms the full preload
+    mc._CSR_CACHE.pop((root, 2))
+    mc._preload_all(root)
+    assert calls["n"] == 2
