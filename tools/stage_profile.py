@@ -24,6 +24,21 @@ from collections import defaultdict
 def main(path: str) -> None:
     stages: dict[int, dict] = {}
     agg = defaultdict(lambda: defaultdict(float))
+    # pass 1: stage id → name. TaskEnd events precede their stage's
+    # StageCompleted in the log, so a single pass mis-keys every task.
+    with open(path) as f:
+        for line in f:
+            try:
+                ev = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if ev.get("Event") in (
+                "SparkListenerStageSubmitted", "SparkListenerStageCompleted"
+            ):
+                si = ev["Stage Info"]
+                sid = si["Stage ID"]
+                name = si["Stage Name"].split("\n")[0]
+                stages[sid] = {"key": f"s{sid:03d} {name}"}
     with open(path) as f:
         for line in f:
             try:
@@ -33,7 +48,7 @@ def main(path: str) -> None:
             et = ev.get("Event")
             if et == "SparkListenerStageCompleted":
                 si = ev["Stage Info"]
-                key = si["Stage Name"].split("\n")[0]
+                key = stages[si["Stage ID"]]["key"]
                 a = agg[key]
                 a["n_stages"] += 1
                 a["n_tasks"] += si["Number of Tasks"]
@@ -41,7 +56,6 @@ def main(path: str) -> None:
                 comp = si.get("Completion Time")
                 if sub and comp:
                     a["wall_s"] += (comp - sub) / 1e3
-                stages[si["Stage ID"]] = {"key": key}
             elif et == "SparkListenerTaskEnd":
                 sid = ev["Stage ID"]
                 key = stages.get(sid, {}).get("key")
