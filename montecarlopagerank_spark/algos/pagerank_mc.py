@@ -22,15 +22,24 @@ vertex (the reference's ``0 to currentCount`` inclusive loop inflates by
 one trial per occupied vertex per step) and exactly ``iterations``
 supersteps.
 
-Scale shape — each superstep runs EXACTLY ONE Spark job with EXACTLY ONE
-shuffle (the scratch fast path; the checkpointed durable path pays two):
+Scale shape — the scratch fast path compiles the ENTIRE superstep loop
+(in segments of ``fuse_steps``) into ONE Spark job with EXACTLY ONE
+shuffle per superstep; the checkpointed durable path pays one job and
+two shuffles per step, the price of resumable parquet state:
 
-1. grouped-map walk kernel directly over the superstep state, which is
-   ``localCheckpoint``-materialized ALREADY hash(block_id)-partitioned —
-   lineage is truncated but the partitioning survives (the loop runs
-   with AQE off: adaptive planning hides a checkpointed RDD's
-   partitioning and would re-exchange it every step; the loop is fully
-   static so AQE has nothing to add). The graph itself is
+1. each superstep is ONE stage: [complete (block_id, rkey) coalescing
+   agg → sort → grouped-map walk kernel → expression route → exchange
+   by block_id]. The agg and the kernel both run on the hash(block_id)
+   partitioning established by the step's single exchange (clustering
+   by a subset of the grouping keys needs no second exchange), and each
+   step's exchange is consumed twice in the same plan — next step's agg
+   and the segment's ζ union — deduped to one shuffle by
+   ReusedExchange. No per-step job gap, no per-step localCheckpoint
+   store/rescan (the round-2 per-step-job design lost ~22% of the
+   4N-core legs to exactly those barriers). The loop runs with AQE off:
+   adaptive planning hides checkpointed partitionings and would
+   re-exchange the segment carry-over state; the loop is fully static
+   so AQE has nothing to add. The graph itself is
    **worker-resident**: CSR blocks are written ONCE at setup as parquet
    side-files partitioned by block_id, and each reused Python worker
    lazily loads + caches the blocks it serves (``_CSR_CACHE``). Earlier
@@ -46,13 +55,11 @@ shuffle (the scratch fast path; the checkpointed durable path pays two):
    with int32 neighbour ids when the vertex space fits;
 2. arrivals route to THEIR OWN blocks — a vertex's block is a pure
    chained-comparison **expression** over the block boundaries
-   (``route_expr``, no routing-table join) — and ONE exchange by
-   block_id both coalesces them (the (block_id, rkey) aggregate runs on
-   hash(block_id) partitioning: clustering by a superset of the
-   partition key needs no second exchange) and pre-positions them for
-   the next superstep's kernel. The surviving-walk total rides this same
-   job as an observed metric (extinction check without an ``isEmpty``
-   job).
+   (``route_expr``, no routing-table join) — and the step's one exchange
+   by block_id pre-positions them for the next superstep's kernel.
+   Per-step surviving-walk totals ride the segment job as
+   ``CollectMetrics`` on the ζ branches (extinction check without an
+   ``isEmpty`` job, at segment granularity).
 
 With ``checkpoint_dir`` the state goes to parquet per step instead
 (durable, resumable) — parquet erases partitioning, so that path pays
@@ -61,10 +68,12 @@ routing exchange), the price of durability.
 
 ζ is NOT re-aggregated per step (the reference's ``union+reduceByKey``
 over the full visit history, MonteCarloPageRank.scala:122, doubles
-per-step shuffle volume); each step's arrivals are already materialized
-as that step's state table, and ζ = one groupBy-sum over the union of
-all step tables at the end (fast-path states are keyed by replica rkey;
-v = rkey >> REPLICA_BITS folds hub replicas back together).
+per-step shuffle volume); each step's routed arrivals feed a ζ branch of
+the same segment job (reading the step's already-written shuffle), and
+the segment folds them into one (rkey, c) accumulator — rows with equal
+rkey share a block hence a partition, so the partial agg fully coalesces
+each branch before the one hash(rkey) exchange. v = rkey >> REPLICA_BITS
+folds hub replicas back together at finalize.
 
 Skew (north_star "hub vertices split across ≥2 blocks"): the block plan
 (operators/adjacency.py::plan_walk_blocks) splits any vertex whose
@@ -403,6 +412,7 @@ def pagerank_monte_carlo(
     checkpoint_dir: str | None = None,
     resume: bool = False,
     state_root: str | None = None,
+    fuse_steps: int = 8,
 ) -> tuple[DataFrame, dict[str, Any]]:
     """Returns (``ranks(v:long, rank:double)``, info). Rank = ζ_v / Σζ.
 
@@ -412,6 +422,12 @@ def pagerank_monte_carlo(
     are ≈ 2 blocks per core slot (min 4k edges/block); the default
     therefore varies with cluster size — pass an explicit value when
     outputs must be identical across different clusters.
+
+    ``fuse_steps`` (fast path only) is how many supersteps are compiled
+    into ONE Spark job before the superstep chain is materialized; it
+    bounds logical-plan size, not correctness — any value ≥ 1 produces
+    identical ranks (the RNG is seeded per logical (block, step), never
+    per job).
 
     ``state_root`` relocates the scratch state (CSR side-files + per-step
     coupon tables). It may be a filesystem URI (``file://``, ``hdfs://``,
@@ -514,17 +530,18 @@ def pagerank_monte_carlo(
         return r
 
     def _build_state(r: DataFrame, obs: Observation | None) -> DataFrame:
-        """Fast-path superstep state: routed rows → ONE exchange by
+        """Init state (fast path): routed init coupons → ONE exchange by
         block_id; the (block_id, rkey) coalescing aggregate runs on that
         same partitioning (hash(block_id) clusters every (block_id, rkey)
-        pair — no second exchange), the surviving-walk total rides the
-        materializing job as an observed metric, and ``localCheckpoint``
-        truncates lineage while PRESERVING the partitioning, so the next
-        superstep's grouped-map kernel consumes it exchange-free. This is
-        why the loop runs with AQE off: an adaptive plan hides the
-        checkpointed RDD's partitioning and re-exchanges it every step
-        (the loop is fully static — fixed partition count, hinted joins —
-        so AQE has nothing to add here)."""
+        pair — no second exchange). The caller materializes the result to
+        scratch PARQUET, not ``localCheckpoint``: a checkpointed RDD's
+        preserved hashpartitioning holds attribute ids that go stale when
+        the analyzer's DeduplicateRelations re-ids the scan's copies (the
+        fused segment plan references the state once per ζ branch), and a
+        canonically-unequal leaf poisons every exchange above it — no
+        ReusedExchange, O(steps²) kernel recompute. A parquet scan
+        canonicalizes cleanly; the one hash(block_id) exchange the kernel
+        inserts above it is itself reused across all consumers."""
         st = (
             r.repartition(n_parts, "block_id")
             .groupBy("block_id", "rkey")
@@ -532,12 +549,11 @@ def pagerank_monte_carlo(
         )
         if obs is not None:
             st = st.observe(obs, F.sum("c").alias("total"))
-        return st.localCheckpoint()
+        return st
 
     ckpt = None
     start_step = 0
     step_coupons: list[DataFrame] = []  # arrivals per superstep (+ init ζ=K)
-    step_states: list[DataFrame] = []  # fast path: (block_id, rkey, c)
     if checkpoint_dir:
         ckpt = CheckpointManager(
             spark, checkpoint_dir,
@@ -568,43 +584,112 @@ def pagerank_monte_carlo(
             ]
             step_coupons = [coupons]
         else:
-            state = _build_state(_routed(init, 0), None)
-            step_states = [state]
+            state = store.materialize(_build_state(_routed(init, 0), None),
+                                      "mcstate")
 
     for df in plan_meta["cached"]:  # planner pins (edges exchange, degree
         df.unpersist()  # table, block assignment) end with setup — the
         # loop reads only the CSR side-files, bounds, and hub broadcast
     steps_run = start_step
-    step_secs: list[float] = []  # per-superstep wall time (diagnostic)
+    step_secs: list[float] = []  # fast: per-SEGMENT wall; durable: per-step
+    step_totals: list[int] = []  # surviving walks per superstep (observed)
     t_loop = time.time()
     try:
-        for step in range(start_step, iterations):
-            t_step = time.time()
-            obs = Observation(f"mc_step_{step}")
-            if fast:
-                # ONE exchange per superstep: the state is already
-                # hash(block_id)-partitioned (localCheckpoint preserves the
-                # previous step's exchange), so the walk kernel runs in place;
-                # arrivals route to THEIR OWN blocks (a vertex's block is a
-                # pure function of its rkey) and the single repartition both
-                # coalesces and pre-positions them for the next step. The
-                # durable path below pays two exchanges (groupBy(dst) + next
-                # step's routing) because parquet erases partitioning.
-                moved = state.groupBy("block_id").applyInArrow(
-                    _walk_kernel(csr_path, eps, seed, step),
-                    schema="dst long, cnt long",
-                )
-                state = _build_state(
-                    _routed(
+        if fast:
+            # WHOLE-LOOP FUSION: ``fuse_steps`` supersteps compile into ONE
+            # Spark job. Per step the plan is [complete (block_id, rkey)
+            # agg → sort → walk kernel → expression route → exchange by
+            # block_id] — a single stage, because the agg and the grouped-
+            # map kernel both run on the hash(block_id) partitioning the
+            # step's one exchange established (clustering by a subset of
+            # the grouping keys needs no second exchange). Each step's
+            # exchange is consumed TWICE in the same plan — by the next
+            # step's agg and by the segment's ζ union — which costs one
+            # shuffle, not two: ReusedExchange dedupes the identical
+            # subtree (asserted by tests/test_pagerank.py fused-plan
+            # test). Versus the round-2 per-step-job design this removes,
+            # per superstep: one stage barrier, one job submit/teardown
+            # gap, and one localCheckpoint store+rescan — fixed costs that
+            # dominated the 4N-core legs of the scaling run (measured
+            # utilization 0.78 at 8 cores vs 0.98 at 2 with per-step jobs).
+            # Per-step surviving-walk totals ride the segment job as
+            # CollectMetrics on the ζ branches; extinction therefore
+            # short-circuits at segment granularity (a post-extinction
+            # step inside a segment walks an empty state — a no-op).
+            z_acc = state.select("rkey", "c")  # init arrivals: ζ = K
+            agged = state
+            step = start_step
+            while step < iterations:
+                t_seg = time.time()
+                seg = list(range(step, min(step + fuse_steps, iterations)))
+                obs_by_step: dict[int, Observation] = {}
+                branches = [z_acc]
+                for s in seg:
+                    moved = agged.groupBy("block_id").applyInArrow(
+                        _walk_kernel(csr_path, eps, seed, s),
+                        schema="dst long, cnt long",
+                    )
+                    exch = _routed(
                         moved.select(
                             F.col("dst").alias("v"), F.col("cnt").alias("c")
                         ),
-                        step + 1,  # consumed by the NEXT superstep
-                    ),
-                    obs,
+                        s + 1,  # consumed by the NEXT superstep
+                    ).repartition(n_parts, "block_id")
+                    obs = Observation(f"mc_step_{s}")
+                    obs_by_step[s] = obs
+                    branches.append(
+                        exch.observe(obs, F.sum("c").alias("total"))
+                        .select("rkey", "c")
+                    )
+                    agged = exch.groupBy("block_id", "rkey").agg(
+                        F.sum("c").alias("c")
+                    )
+                # ζ partial: rows with equal rkey share a block, hence a
+                # partition — the partial agg fully coalesces each branch
+                # before the hash(rkey) exchange
+                z_seg = (
+                    reduce(DataFrame.unionByName, branches)
+                    .groupBy("rkey").agg(F.sum("c").alias("c"))
                 )
-                step_states.append(state)
-            else:
+                # ONE action materializes the segment: ζ partial plus (if
+                # the loop continues) the carry-over state, tagged into one
+                # table so a single job computes every kernel exactly once
+                seg_out = z_seg.select(
+                    F.lit(1).alias("tag"), F.lit(-1).alias("block_id"),
+                    "rkey", "c",
+                )
+                if seg[-1] != iterations - 1:
+                    seg_out = seg_out.unionByName(
+                        agged.select(
+                            F.lit(0).alias("tag"), "block_id", "rkey", "c"
+                        )
+                    )
+                seg_out = store.materialize(seg_out, "mcstate")
+                z_acc = seg_out.filter("tag = 1").select("rkey", "c")
+                # parquet erases partitioning, so the next segment's first
+                # kernel re-exchanges the carry-over state — one small
+                # (O(occupied vertices)) exchange per SEGMENT, the price
+                # of bounding plan size (see _build_state for why parquet,
+                # not localCheckpoint, backs the segment boundary)
+                agged = seg_out.filter("tag = 0").select(
+                    "block_id", "rkey", "c"
+                )
+                step_secs.append(round(time.time() - t_seg, 3))
+                extinct = False
+                for s in seg:
+                    tot = int(obs_by_step[s].get["total"] or 0)
+                    step_totals.append(tot)
+                    steps_run = s + 1
+                    if tot == 0:  # extinction — nothing left to walk
+                        extinct = True
+                        break
+                if extinct:
+                    break
+                step = seg[-1] + 1
+        else:
+            for step in range(start_step, iterations):
+                t_step = time.time()
+                obs = Observation(f"mc_step_{step}")
                 # narrow expression routing: coupon → (block_id, rkey) with
                 # zero joins; hub coupons peel off to the multinomial splitter
                 routed = _routed(coupons, step)
@@ -625,31 +710,29 @@ def pagerank_monte_carlo(
                     step, {"coupons": observed}, {"superstep": step}
                 )["coupons"]
                 step_coupons.append(coupons)
-            steps_run = step + 1
-            step_secs.append(round(time.time() - t_step, 3))
-            if int(obs.get["total"] or 0) == 0:  # extinction — nothing to walk
-                break
+                steps_run = step + 1
+                step_secs.append(round(time.time() - t_step, 3))
+                tot = int(obs.get["total"] or 0)
+                step_totals.append(tot)
+                if tot == 0:  # extinction — nothing to walk
+                    break
     finally:
         if fast:  # never leak AQE-off into the caller's session
             spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
 
     t_loop_end = time.time()
-    # ζ = K + Σ arrivals: ONE union+groupBy over the per-step tables, not
-    # a per-step re-aggregation; Σζ rides the visits write as an observed
-    # metric. Fast-path states are keyed by replica rkey — v = rkey >>
-    # REPLICA_BITS folds hub replicas back together (the multinomial
-    # conserves each vertex's total, so per-v sums equal the durable
-    # path's exactly)
+    # ζ = K + Σ arrivals. Fast path: the segment jobs already folded every
+    # step's arrivals into the checkpointed (rkey, c) accumulator — the
+    # finalize below only folds hub replicas (v = rkey >> REPLICA_BITS;
+    # the multinomial conserves each vertex's total, so per-v sums equal
+    # the durable path's exactly) and normalizes. Durable path: ONE
+    # union+groupBy over the per-step parquet tables, never a per-step
+    # re-aggregation (the reference union+reduceByKey's doubled shuffle,
+    # MonteCarloPageRank.scala:122).
     if fast:
-        all_arrivals = reduce(
-            DataFrame.unionByName,
-            [
-                df.select(
-                    F.shiftright("rkey", REPLICA_BITS).alias("v"),
-                    F.col("c").alias("z"),
-                )
-                for df in step_states
-            ],
+        all_arrivals = z_acc.select(
+            F.shiftright("rkey", REPLICA_BITS).alias("v"),
+            F.col("c").alias("z"),
         )
     else:
         all_arrivals = reduce(
@@ -687,6 +770,8 @@ def pagerank_monte_carlo(
         "setup_secs": round(t_loop - t_setup, 3),
         "loop_secs": round(t_loop_end - t_loop, 3),
         "step_secs": step_secs,
+        "step_walk_totals": step_totals,
+        "fuse_steps": fuse_steps if fast else 1,
         # setup breakdown: plan = out_deg agg + bounds collect jobs;
         # csr_write = the edge shuffle + Arrow pack + parquet side-files
         # (the O(E) part); rest = hub collect + init-coupon write

@@ -308,3 +308,57 @@ def test_preload_all_skips_when_warm(tmp_path, monkeypatch):
     mc._CSR_CACHE.pop((root, 2))
     mc._preload_all(root)
     assert calls["n"] == 2
+
+
+def test_mc_fuse_invariance(spark, gnutella_mini):
+    """fuse_steps only changes how many supersteps compile into one Spark
+    job — never the walks (RNG is seeded per logical (block, step)).
+    Byte-identical ranks at segment lengths 1 (per-step jobs), 3
+    (mid-loop segment boundary), and 8 (whole loop in one job)."""
+    outs = [
+        ranks_dict(pagerank_monte_carlo(
+            spark, gnutella_mini, walks_per_vertex=20, iterations=5,
+            seed=7, fuse_steps=fs)[0])
+        for fs in (1, 3, 8)
+    ]
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_mc_fused_kernel_runs_once_per_step(spark, gnutella_mini,
+                                            monkeypatch, tmp_path):
+    """The fused segment plan consumes each step's routed exchange twice
+    (next step's agg + the ζ union); ReusedExchange must dedupe it so the
+    walk kernel of step s executes exactly n_blocks(s) times, not
+    O(steps - s) times (exponential recompute if a leaf fails to
+    canonicalize — the localCheckpoint stale-partitioning trap documented
+    in _build_state)."""
+    import json
+    import montecarlopagerank_spark.algos.pagerank_mc as mc
+    log = tmp_path / "kernel_calls.jsonl"
+    orig = mc._walk_kernel
+
+    def counting(csr_path, eps, seed, step):
+        k = orig(csr_path, eps, seed, step)
+
+        def wrapped(t):
+            with open(log, "a") as f:
+                f.write(json.dumps({"step": step}) + "\n")
+            return k(t)
+
+        return wrapped
+
+    monkeypatch.setattr(mc, "_walk_kernel", counting)
+    _, info = mc.pagerank_monte_carlo(
+        spark, gnutella_mini, walks_per_vertex=4, iterations=4, seed=3,
+        fuse_steps=8)
+    per_step = {}
+    with open(log) as f:
+        for line in f:
+            s = json.loads(line)["step"]
+            per_step[s] = per_step.get(s, 0) + 1
+    n_blocks = info["n_blocks"]
+    assert set(per_step) == {0, 1, 2, 3}
+    for s, n in per_step.items():
+        assert n <= n_blocks, (
+            f"step {s} kernel ran {n}× for {n_blocks} blocks — "
+            "exchange reuse is broken (recompute per consumer)")
