@@ -1,0 +1,96 @@
+"""Link prediction over the undirected closure: hub-capped common-neighbor
+counts and Jaccard scores for non-adjacent vertex pairs.
+
+North-rule analytics extension (no reference implementation — the reference
+repo stops at PageRank); the natural next query a link-graph user runs
+after centrality: "which unlinked pairs are most likely to link?"
+
+Semantics — hub-capped common neighbors
+---------------------------------------
+Exact all-pairs common-neighbor counting is output-bound Ω(Σ d(d−1)/2):
+a degree-d apex contributes d(d−1)/2 candidate pairs, so one 10^7-degree
+hub alone yields ~5·10^13 wedges — no partitioning strategy survives
+that, it's the answer itself that is too big. The standard web-scale cut
+is to EXCLUDE super-hub apexes from mediating wedges (their endorsement
+carries ~no signal — the same reasoning Adamic-Adar encodes by 1/log d
+weighting): ``common(a,b)`` counts only shared neighbours w with
+``deg(w) <= max_apex_degree``. That bounds the wedge join at
+cap·Σ_{d<=cap} d — linear in E for constant cap — and the semantic is
+deterministic and SQL-expressible, so the driver hash-checks it against
+a DuckDB twin applying the identical degree filter.
+
+Shapes: distinct undirected edges → degree hash-agg → wedge self-join
+keyed by apex (bounded by the cap) → count by pair → anti-join against
+the edge set (only NEW links are predictions) → O(V) degree joins for
+the Jaccard denominator. All built-in column expressions, zero UDFs;
+``jaccard = common / (deg_a + deg_b − common)`` is a single IEEE-double
+division, bit-identical across engines, so rounding to 6 is hash-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from montecarlopagerank_spark.algos.triangles import undirected_edges
+
+
+def common_neighbors_topk(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int = 50,
+    max_apex_degree: int = 64,
+) -> DataFrame:
+    """Top-k non-adjacent pairs by hub-capped common-neighbor count.
+
+    Returns ``(a, b, common:long, jaccard_r6:double)`` with ``a < b``,
+    ordered by (common DESC, a, b) — a total order, so the k-cut is
+    deterministic. ``jaccard`` uses the FULL simple undirected degrees in
+    the denominator; only the intersection count is apex-capped (see
+    module docstring).
+    """
+    und = undirected_edges(edges)
+    sym = und.select(F.col("x").alias("v"), F.col("y").alias("w")).unionByName(
+        und.select(F.col("y").alias("v"), F.col("x").alias("w"))
+    )
+    deg = sym.groupBy("v").agg(F.count("*").alias("deg"))
+    # wedges mediated by capped-degree apexes only; the self-join key is
+    # the apex, so each task's blow-up is bounded by cap^2
+    apex_nbrs = sym.withColumnRenamed("v", "apex").join(
+        deg.filter(F.col("deg") <= max_apex_degree)
+        .select(F.col("v").alias("apex")),
+        "apex",
+        "left_semi",
+    )
+    a_side = apex_nbrs.select("apex", F.col("w").alias("a"))
+    b_side = apex_nbrs.select("apex", F.col("w").alias("b"))
+    cand = (
+        a_side.join(b_side, "apex")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    # predictions are NEW links only: drop pairs already adjacent
+    fresh = cand.join(
+        und.select(F.col("x").alias("a"), F.col("y").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+    c = F.col("common").cast("double")
+    return (
+        fresh.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            F.col("common").cast("long").alias("common"),
+            F.round(
+                c / (F.col("deg_a") + F.col("deg_b") - c),
+                6,
+            ).alias("jaccard_r6"),
+        )
+        .orderBy(F.desc("common"), F.asc("a"), F.asc("b"))
+        .limit(k)
+    )

@@ -86,3 +86,45 @@ def triangles_per_vertex(spark: SparkSession, edges: DataFrame) -> DataFrame:
     )
     o.unpersist()
     return per_v
+
+
+def clustering_coefficient(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Per-vertex local clustering coefficient on the undirected closure:
+    ``cc(v) = 2·T(v) / (d(v)·(d(v)−1))`` with ``T(v)`` the triangles through
+    ``v`` and ``d(v)`` the simple undirected degree (``cc = 0`` for
+    ``d < 2``). North-rule analytics op with no reference implementation
+    (the reference stops at PageRank — SURVEY.md §2.7 extensions).
+
+    Scale shape: the triangle side inherits the degree-oriented wedge join
+    (O(sqrt(m)) oriented out-degree even at mega-hubs); the degree side is
+    one hash agg over the distinct undirected edge set; the final
+    assembly is a single O(V)-vs-O(V) join. ``cc`` is one IEEE-double
+    multiply+divide — bit-identical to any SQL twin computing
+    ``2.0·T/(d·(d−1))``, so the value is hash-checkable.
+    """
+    und = undirected_edges(edges)
+    deg = (
+        und.select(F.col("x").alias("v"))
+        .unionByName(und.select(F.col("y").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    tri = triangles_per_vertex(spark, edges)
+    d = F.col("deg").cast("double")
+    return (
+        deg.join(tri, "v", "left")
+        .select(
+            "v",
+            F.col("deg").cast("long").alias("deg"),
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+            F.round(
+                F.when(
+                    F.col("deg") >= 2,
+                    F.lit(2.0)
+                    * F.coalesce(F.col("triangles"), F.lit(0)).cast("double")
+                    / (d * (d - F.lit(1.0))),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("cc_r6"),
+        )
+    )

@@ -449,6 +449,27 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex local clustering coefficient (undirected closure) —
+    SQL twin re-derives per-vertex triangle counts from the x<y<z
+    three-way join and the same 2T/(d(d−1)) IEEE-double expression."""
+    from montecarlopagerank_spark.algos.triangles import clustering_coefficient
+
+    e = _string_edges(spark, sf_dir).select("src", "dst")
+    return clustering_coefficient(spark, e)
+
+
+def q_link_prediction_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 predicted links by hub-capped common-neighbor count
+    (cap=64, see algos/linkpred.py) — total order (common DESC, a, b)
+    makes the k-cut deterministic; the twin applies the identical apex
+    degree filter."""
+    from montecarlopagerank_spark.algos.linkpred import common_neighbors_topk
+
+    e = _string_edges(spark, sf_dir).select("src", "dst")
+    return common_neighbors_topk(spark, e, k=50, max_apex_degree=64)
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from montecarlopagerank_spark.pipeline.textstats import token_stats
 
@@ -594,6 +615,8 @@ QUERIES = {
     "label_propagation_sizes": q_label_propagation_sizes,
     "label_propagation_fixed2": q_label_propagation_fixed2,
     "triangle_count": q_triangle_count,
+    "clustering_coefficient": q_clustering_coefficient,
+    "link_prediction_top50": q_link_prediction_top50,
     "token_stats": q_token_stats,
     "quality_score": q_quality_score,
     "langid_heuristic": q_langid_heuristic,
@@ -662,6 +685,62 @@ und AS (
 )
 SELECT COUNT(*) AS triangles
 FROM und a JOIN und b ON a.y = b.x JOIN und c ON a.x = c.x AND b.y = c.y
+""",
+    "clustering_coefficient": f"""
+WITH {SQL_TEDGES[1:]},
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS x, GREATEST(src, dst) AS y
+  FROM tedges WHERE src <> dst
+),
+tri AS (
+  SELECT a.x AS v1, a.y AS v2, b.y AS v3
+  FROM und a JOIN und b ON a.y = b.x JOIN und c ON a.x = c.x AND b.y = c.y
+),
+pv AS (
+  SELECT v, COUNT(*) AS t FROM (
+    SELECT v1 AS v FROM tri
+    UNION ALL SELECT v2 FROM tri
+    UNION ALL SELECT v3 FROM tri
+  ) GROUP BY v
+),
+deg AS (
+  SELECT v, COUNT(*) AS d FROM (
+    SELECT x AS v FROM und UNION ALL SELECT y FROM und
+  ) GROUP BY v
+)
+SELECT deg.v AS v, CAST(deg.d AS BIGINT) AS deg,
+       CAST(COALESCE(pv.t, 0) AS BIGINT) AS triangles,
+       ROUND(CASE WHEN deg.d >= 2
+                  THEN 2.0 * COALESCE(pv.t, 0) / (CAST(deg.d AS DOUBLE) * (deg.d - 1.0))
+                  ELSE 0.0 END, 6) AS cc_r6
+FROM deg LEFT JOIN pv ON deg.v = pv.v
+""",
+    "link_prediction_top50": f"""
+WITH {SQL_TEDGES[1:]},
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS x, GREATEST(src, dst) AS y
+  FROM tedges WHERE src <> dst
+),
+sym AS (SELECT x AS v, y AS w FROM und UNION ALL SELECT y, x FROM und),
+deg AS (SELECT v, COUNT(*) AS d FROM sym GROUP BY v),
+apexn AS (
+  SELECT s.v AS apex, s.w FROM sym s JOIN deg ON s.v = deg.v
+  WHERE deg.d <= 64
+),
+cand AS (
+  SELECT l.w AS a, r.w AS b, COUNT(*) AS common
+  FROM apexn l JOIN apexn r ON l.apex = r.apex
+  WHERE l.w < r.w GROUP BY l.w, r.w
+),
+fresh AS (
+  SELECT c.* FROM cand c LEFT JOIN und e ON c.a = e.x AND c.b = e.y
+  WHERE e.x IS NULL
+)
+SELECT f.a, f.b, CAST(f.common AS BIGINT) AS common,
+       ROUND(CAST(f.common AS DOUBLE)
+             / (da.d + db.d - CAST(f.common AS DOUBLE)), 6) AS jaccard_r6
+FROM fresh f JOIN deg da ON f.a = da.v JOIN deg db ON f.b = db.v
+ORDER BY common DESC, a ASC, b ASC LIMIT 50
 """,
     "token_stats": r"""
 SELECT doc_id,
