@@ -101,12 +101,22 @@ def pagerank_power(
     checkpoint_dir: str | None = None,
     resume: bool = False,
     n_partitions: int | None = None,
+    sources: DataFrame | None = None,
 ) -> tuple[DataFrame, dict[str, Any]]:
     """Returns (``ranks(v:long, rank:double)``, info dict with iterations/
     deltas/converged). With ``checkpoint_dir``, every superstep commits a
     resumable parquet snapshot + manifest; ``resume=True`` continues from
     the last complete step. Without it, ``localCheckpoint`` truncates
-    lineage each step (not resumable, faster for benches)."""
+    lineage each step (not resumable, faster for benches).
+
+    ``sources`` (optional, one column ``v``) switches to PERSONALIZED
+    PageRank: the teleport vector p is uniform over the source set instead
+    of over all vertices — init π = p, and both the ε jump and the dangling
+    mass land on p (π'_u = ε·p_u + (1−ε)(Σ contribs_u + m·p_u)). Source ids
+    not present in the graph are ignored. The loop shape is unchanged: the
+    source flag rides the same cached co-partitioned side table as the
+    dangling flag, so personalization costs zero extra joins or exchanges
+    per superstep."""
     t_setup = time.time()
     n_parts = int(n_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
     verts, deg, contrib_edges, plan_cached = _prepare(edges, vertices, n_parts)
@@ -127,17 +137,29 @@ def pagerank_power(
     # write job still yields the next dangling mass as an observed metric
     # (no per-step lookup job — the reference pays a full lookup(-1)
     # action per superstep, PowerIterationPageRank.scala:111)
-    vflag = (
-        deg.select("v", (F.col("out_deg") == 0).alias("dang"))
-        .repartition(n_parts, "v")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    vaux = deg.select("v", (F.col("out_deg") == 0).alias("dang"))
+    if sources is not None:
+        # personalization flag joins ONCE at setup into the same cached
+        # side table — the superstep loop never sees an extra join
+        s = sources.select("v").distinct().withColumn("is_src", F.lit(True))
+        vaux = vaux.join(s, "v", "left").select(
+            "v", "dang", F.coalesce("is_src", F.lit(False)).alias("is_src")
+        )
+    vflag = vaux.repartition(n_parts, "v").persist(StorageLevel.MEMORY_AND_DISK)
     contrib_edges.count()  # materialize the loop-invariant cache in setup,
     # not inside step 0's job (keeps per-step times honest and steady)
-    crow = vflag.agg(  # one setup job for both counts
+    aggs = [  # one setup job for all counts
         F.count("*").alias("n"),
         F.sum(F.when(F.col("dang"), 1).otherwise(0)).alias("nd"),
-    ).collect()[0]
+    ]
+    if sources is not None:
+        aggs.append(F.sum(F.when(F.col("is_src"), 1).otherwise(0)).alias("ns"))
+        aggs.append(
+            F.sum(
+                F.when(F.col("is_src") & F.col("dang"), 1).otherwise(0)
+            ).alias("nsd")
+        )
+    crow = vflag.agg(*aggs).collect()[0]
     for df in plan_cached:  # loop-invariant caches (contrib_edges, vflag)
         df.unpersist()  # are materialized — the planner pins can go
     n = crow["n"]
@@ -145,6 +167,11 @@ def pagerank_power(
         empty = spark.createDataFrame([], "v long, rank double")
         return empty, {"iterations": 0, "converged": True, "deltas": [], "n": 0}
     n_dangling = crow["nd"]
+    ns = None
+    if sources is not None:
+        ns = crow["ns"]
+        if not ns:
+            raise ValueError("personalized PageRank: no source id is in the graph")
 
     ckpt = None
     store = StateStore(spark)  # scratch superstep materializer (state.py)
@@ -173,10 +200,21 @@ def pagerank_power(
         else:
             ckpt.clear()
     if start_step == 0:
-        state = store.materialize(
-            vflag.select("v", (F.lit(1.0) / n).alias("rank"))
-        )
-        m = n_dangling / n  # uniform init → closed-form dangling mass
+        if sources is None:
+            state = store.materialize(
+                vflag.select("v", (F.lit(1.0) / n).alias("rank"))
+            )
+            m = n_dangling / n  # uniform init → closed-form dangling mass
+        else:
+            state = store.materialize(
+                vflag.select(
+                    "v",
+                    F.when(F.col("is_src"), F.lit(1.0) / ns)
+                    .otherwise(F.lit(0.0))
+                    .alias("rank"),
+                )
+            )
+            m = crow["nsd"] / ns  # π0 = p → dangling mass of the source set
     if m is None:  # resumed from a pre-upgrade manifest: one recovery job
         m = (
             state.join(vflag.filter("dang").hint("shuffle_hash"), "v")
@@ -227,7 +265,13 @@ def pagerank_power(
             .groupBy("vc")
             .agg(F.sum("mass").alias("mass"))  # partial+final hash agg
         )
-        base = eps / n + (1.0 - eps) * m / n
+        if sources is None:
+            base_col = F.lit(eps / n + (1.0 - eps) * m / n)
+        else:
+            # teleport + dangling mass both land on p (uniform over sources)
+            base_col = F.when(
+                vflag["is_src"], F.lit((eps + (1.0 - eps) * m) / ns)
+            ).otherwise(F.lit(0.0))
         # ONE update join yields the new rank and per-vertex delta; the
         # dangling flag for the observed mass metric comes from the cached
         # co-partitioned vflag (exchange-free SHJ build of O(V) booleans)
@@ -237,7 +281,7 @@ def pagerank_power(
             .select(
                 st["v"].alias("v"), vflag["dang"].alias("dang"),
                 (
-                    F.lit(base)
+                    base_col
                     + F.lit(1.0 - eps) * F.coalesce(F.col("mass"), F.lit(0.0))
                 ).alias("rank"),
                 st["rank"].alias("old_rank"),
@@ -290,6 +334,7 @@ def pagerank_power(
         ranks.count()
     info = {
         "iterations": it + 1, "converged": converged, "deltas": deltas, "n": n,
+        "n_sources": ns,
         "setup_secs": round(t_loop - t_setup, 3),
         "loop_secs": round(time.time() - t_loop, 3),
         "step_secs": step_secs,

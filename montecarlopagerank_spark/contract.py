@@ -104,6 +104,128 @@ FROM r{iters} r CROSS JOIN nn""")
     return "".join(parts)
 
 
+def _ppr_sql(iters: int, eps: float = EPS) -> str:
+    """Personalized PageRank unrolled to ``iters`` supersteps — the twin
+    of pagerank_power(sources=...): teleport vector p uniform over
+    conversation u1's turn vertices, π0 = p, jump AND dangling mass land
+    on p (algos/pagerank_power.py docstring)."""
+    parts = [
+        "WITH " + SQL_TEDGES[1:],
+        """,
+te AS MATERIALIZED (SELECT src, dst FROM tedges),
+verts AS MATERIALIZED (SELECT src AS v FROM te UNION SELECT dst FROM te),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+deg AS MATERIALIZED (
+  SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS d FROM te GROUP BY src),
+srcs AS MATERIALIZED (SELECT v FROM verts WHERE v LIKE 'turn#u1#%'),
+sn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM srcs),
+r0 AS (
+  SELECT verts.v,
+         CASE WHEN s.v IS NOT NULL THEN 1.0 / sn.ns ELSE 0.0 END AS r
+  FROM verts CROSS JOIN sn LEFT JOIN srcs s ON verts.v = s.v
+)""",
+    ]
+    for i in range(iters):
+        parts.append(f""",
+m{i} AS (
+  SELECT COALESCE(SUM(r.r), 0.0) AS m
+  FROM r{i} r LEFT JOIN deg d ON r.v = d.v WHERE d.v IS NULL
+),
+c{i} AS (
+  SELECT e.dst AS v, SUM(r.r / d.d) AS mass
+  FROM te e JOIN r{i} r ON e.src = r.v JOIN deg d ON e.src = d.v
+  GROUP BY e.dst
+),
+r{i + 1} AS (
+  SELECT verts.v,
+         CASE WHEN s.v IS NOT NULL
+              THEN ({eps} + {1.0 - eps} * m{i}.m) / sn.ns ELSE 0.0 END
+           + {1.0 - eps} * COALESCE(c.mass, 0.0) AS r
+  FROM verts CROSS JOIN sn CROSS JOIN m{i}
+  LEFT JOIN c{i} c ON verts.v = c.v
+  LEFT JOIN srcs s ON verts.v = s.v
+)""")
+    parts.append(f"""
+SELECT r.v AS v, ROUND(r.r * nn.n, 6) AS ppr_scaled
+FROM r{iters} r CROSS JOIN nn""")
+    return "".join(parts)
+
+
+def _hits_sql(iters: int) -> str:
+    """HITS unrolled to ``iters`` iterations, L1-normalized per half-step
+    (algos/hits.py carries scores unnormalized and divides at use — the
+    per-element division is the same op in the same order, so the rounded
+    outputs agree)."""
+    parts = [
+        "WITH " + SQL_TEDGES[1:],
+        """,
+te AS MATERIALIZED (SELECT src, dst FROM tedges),
+verts AS MATERIALIZED (SELECT src AS v FROM te UNION SELECT dst FROM te),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+h0 AS (SELECT v, 1.0 / nn.n AS s FROM verts CROSS JOIN nn)""",
+    ]
+    # te/verts are MATERIALIZED: DuckDB otherwise inlines the CTE chain at
+    # every reference (4+ per iteration), re-scanning events.parquet dozens
+    # of times and exhausting the fd limit
+    for i in range(iters):
+        parts.append(f""",
+ar{i} AS (
+  SELECT e.dst AS v, SUM(h.s) AS s
+  FROM te e JOIN h{i} h ON e.src = h.v GROUP BY e.dst
+),
+at{i} AS (SELECT SUM(s) AS t FROM ar{i}),
+a{i + 1} AS (
+  SELECT verts.v, COALESCE(ar.s, 0.0) / at{i}.t AS s
+  FROM verts CROSS JOIN at{i} LEFT JOIN ar{i} ar ON verts.v = ar.v
+),
+hr{i} AS (
+  SELECT e.src AS v, SUM(a.s) AS s
+  FROM te e JOIN a{i + 1} a ON e.dst = a.v GROUP BY e.src
+),
+ht{i} AS (SELECT SUM(s) AS t FROM hr{i}),
+h{i + 1} AS (
+  SELECT verts.v, COALESCE(hr.s, 0.0) / ht{i}.t AS s
+  FROM verts CROSS JOIN ht{i} LEFT JOIN hr{i} hr ON verts.v = hr.v
+)""")
+    parts.append(f"""
+SELECT h.v AS v, ROUND(h.s * nn.n, 6) AS hub_scaled,
+       ROUND(a.s * nn.n, 6) AS auth_scaled
+FROM h{iters} h JOIN a{iters} a ON h.v = a.v CROSS JOIN nn""")
+    return "".join(parts)
+
+
+def _bfs_sql(max_hops: int) -> str:
+    """Min-hop distance from the tool vertices over the undirected
+    closure, unrolled as ``max_hops`` relaxation rounds (full relaxation
+    and algos/bfs.py's frontier BFS agree on min-hop distances)."""
+    parts = [
+        "WITH " + SQL_TEDGES[1:],
+        """,
+verts AS (SELECT src AS v FROM tedges UNION SELECT dst FROM tedges),
+sym AS MATERIALIZED (
+  SELECT DISTINCT u, w FROM (
+    SELECT src AS u, dst AS w FROM tedges WHERE src <> dst
+    UNION ALL
+    SELECT dst AS u, src AS w FROM tedges WHERE src <> dst
+  )
+),
+d0 AS (SELECT v, 0 AS hops FROM verts WHERE v LIKE 'tool#%')""",
+    ]
+    for i in range(max_hops):
+        parts.append(f""",
+d{i + 1} AS (
+  SELECT v, MIN(hops) AS hops FROM (
+    SELECT v, hops FROM d{i}
+    UNION ALL
+    SELECT s.w AS v, d.hops + 1 AS hops
+    FROM sym s JOIN d{i} d ON s.u = d.v
+  ) GROUP BY v
+)""")
+    parts.append(f"""
+SELECT v, CAST(hops AS INTEGER) AS hops FROM d{max_hops}""")
+    return "".join(parts)
+
+
 def _cc_sql(rounds: int = 12) -> str:
     """Exact connected components in pure SQL: per round, every vertex's
     label drops to min(own, neighbours') then pointer-jumps (lbl ← lbl of
@@ -470,6 +592,59 @@ def q_link_prediction_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
     return common_neighbors_topk(spark, e, k=50, max_apex_degree=64)
 
 
+def q_pagerank_personalized_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank, 5 exact supersteps (tol=0), teleport set =
+    conversation u1's turn vertices ("rank the graph from one user's
+    history") — oracle-checked against the unrolled SQL twin
+    (_ppr_sql(5)) to round(rank*n, 6)."""
+    from montecarlopagerank_spark.algos.pagerank_power import pagerank_power
+
+    edges, vertices, key = _vid_graph(spark, sf_dir)
+    srcs = vertices.filter(
+        (F.col("kind") == "turn") & F.col("key").startswith("u1#")
+    ).select(F.col("vid").alias("v"))
+    ranks, info = pagerank_power(
+        spark, edges, vertices, tol=0.0, max_iters=5, sources=srcs
+    )
+    n = info["n"]
+    return ranks.join(key, ranks.v == key.vid).select(
+        F.col("vkey").alias("v"),
+        F.round(F.col("rank") * F.lit(float(n)), 6).alias("ppr_scaled"),
+    )
+
+
+def q_hits_fixed5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities, 5 iterations, L1-normalized — oracle-checked
+    against the unrolled per-step-normalized SQL twin (_hits_sql(5)) to
+    round(score*n, 6); normalization is scale-invariant so the carried-
+    unnormalized Spark loop matches (algos/hits.py docstring)."""
+    from montecarlopagerank_spark.algos.hits import hits
+
+    e = _string_edges(spark, sf_dir).select("src", "dst")
+    scores, info = hits(spark, e, iters=5)
+    n = info["n"]
+    return scores.select(
+        "v",
+        F.round(F.col("hub") * F.lit(float(n)), 6).alias("hub_scaled"),
+        F.round(F.col("auth") * F.lit(float(n)), 6).alias("auth_scaled"),
+    )
+
+
+def q_bfs_hops_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected min-hop distance from the tool vertices, capped at 6
+    hops ("everything within 6 clicks of a tool") — oracle-checked
+    against 6 unrolled relaxation rounds (_bfs_sql(6); frontier BFS and
+    full relaxation agree on min-hop distances)."""
+    from montecarlopagerank_spark.algos.bfs import bfs_hops
+
+    e = _string_edges(spark, sf_dir).select("src", "dst")
+    srcs = e.filter(F.col("dst").startswith("tool#")).select(
+        F.col("dst").alias("v")
+    )
+    dist, _ = bfs_hops(spark, e, srcs, max_hops=6, directed=False)
+    return dist.select("v", F.col("hops").cast("int").alias("hops"))
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from montecarlopagerank_spark.pipeline.textstats import token_stats
 
@@ -617,6 +792,9 @@ QUERIES = {
     "triangle_count": q_triangle_count,
     "clustering_coefficient": q_clustering_coefficient,
     "link_prediction_top50": q_link_prediction_top50,
+    "pagerank_personalized_fixed": q_pagerank_personalized_fixed,
+    "hits_fixed5": q_hits_fixed5,
+    "bfs_hops_tools": q_bfs_hops_tools,
     "token_stats": q_token_stats,
     "quality_score": q_quality_score,
     "langid_heuristic": q_langid_heuristic,
@@ -674,6 +852,9 @@ FROM verts LEFT JOIN outd ON verts.v = outd.v LEFT JOIN ind ON verts.v = ind.v
 ORDER BY in_deg DESC, verts.v ASC LIMIT 20
 """,
     "pagerank_power_fixed": _pi_sql(5),
+    "pagerank_personalized_fixed": _ppr_sql(5),
+    "hits_fixed5": _hits_sql(5),
+    "bfs_hops_tools": _bfs_sql(6),
     "connected_components_sizes": _cc_sql(24),
     "label_propagation_fixed2": _lpa_sql(2),
     "label_propagation_sizes": _lpa_sql(10),
