@@ -412,7 +412,7 @@ def pagerank_monte_carlo(
     checkpoint_dir: str | None = None,
     resume: bool = False,
     state_root: str | None = None,
-    fuse_steps: int = 8,
+    fuse_steps: int | None = None,
 ) -> tuple[DataFrame, dict[str, Any]]:
     """Returns (``ranks(v:long, rank:double)``, info). Rank = ζ_v / Σζ.
 
@@ -427,7 +427,17 @@ def pagerank_monte_carlo(
     into ONE Spark job before the superstep chain is materialized; it
     bounds logical-plan size, not correctness — any value ≥ 1 produces
     identical ranks (the RNG is seeded per logical (block, step), never
-    per job).
+    per job). Default (None) derives it from the block plan: 6 on
+    hub-free graphs, 1 when hub splitting is active. The fused plan is a
+    logical TREE, not a DAG: each step's exchange is consumed by the next
+    step's agg AND the segment's ζ branch (×2/step), and the hub router
+    splits the arrivals into a non-hub and a hub branch (×3/step with
+    hubs) — ReusedExchange dedups execution but the ANALYZER walks the
+    un-deduped tree, so DeduplicateRelations pays O(2^k) (hub-free) or
+    O(3^k) (hubs) per segment. k=6 hub-free is ~seconds of driver CPU at
+    any data size; k=8 with split hubs was measured >8 min of pure
+    analysis on a 230k-edge graph. Raise it only for hub-free graphs
+    whose per-step work dwarfs the per-job fixed cost.
 
     ``state_root`` relocates the scratch state (CSR side-files + per-step
     coupon tables). It may be a filesystem URI (``file://``, ``hdfs://``,
@@ -445,6 +455,11 @@ def pagerank_monte_carlo(
         edges, edges_per_block=edges_per_block, n_partitions=n_parts
     )
     edges_per_block = plan_meta["edges_per_block"]
+    if fuse_steps is None:
+        # analyzer cost is exponential in segment length (see docstring):
+        # base 3 with hub splitting, base 2 without — keep k where the
+        # driver-side analysis stays in the noise
+        fuse_steps = 1 if plan_meta["has_hubs"] else 6
     t_plan1 = time.time()
     # flat per-superstep materializer (state.py)
     store = StateStore(spark, root=state_root)

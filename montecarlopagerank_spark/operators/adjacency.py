@@ -122,8 +122,10 @@ def plan_walk_blocks(
     "hub vertices split across ≥2 blocks, partial-aggregated then
     re-reduced").
 
-    Any vertex with out_deg > edges_per_block is split into
-    R = ceil(out_deg / edges_per_block) *replicas*; each out-edge is
+    Any vertex with out_deg > the hub threshold is split into
+    R = ceil(out_deg / threshold) *replicas* (threshold = edges_per_block
+    when given explicitly; under auto sizing it is floored at 2^18 —
+    see the inline comment); each out-edge is
     assigned to replica pmod(xxhash64(dst), R), so replicas carry disjoint
     neighbour subsets of ≈equal size and no single Arrow task ever holds
     more than ~edges_per_block edges of one hub. Replicas are addressed by
@@ -179,6 +181,7 @@ def plan_walk_blocks(
     ).collect()[0]
     out_deg = out_deg.drop("_mx_dst")
     max_deg = mrow["d"] or 0
+    hub_threshold = edges_per_block
     if edges_per_block is None:
         # default block sizing ≈ 2 blocks per core slot (min 4k edges):
         # derived from the degree table already in hand — no extra pass.
@@ -187,7 +190,20 @@ def plan_walk_blocks(
         total_w = int(mrow["e"] or 0) + int(mrow["nsrc"] or 0)
         slots = edges.sparkSession.sparkContext.defaultParallelism
         edges_per_block = max(total_w // max(2 * slots, 1) + 1, 1 << 12)
-    has_hubs = max_deg > edges_per_block
+        # DECOUPLED hub threshold under auto sizing: block size answers
+        # "how many kernel tasks" (a parallelism question that shrinks
+        # with the graph), hub splitting answers "can one task hold one
+        # vertex's edges" (an absolute memory/latency question). Tying
+        # hubs to the parallelism-derived size made a 20k-degree vertex
+        # on a 230k-edge graph a "hub", dragging the per-step multinomial
+        # router into every superstep for zero skew benefit. 256k edges
+        # (~4 MB of int32 CSR) is far below any task budget, so only
+        # genuinely pathological vertices split. An EXPLICIT
+        # edges_per_block keeps the coupled behavior (tests force hubs
+        # with tiny explicit sizes; clusters that need a lower split
+        # point pass it directly).
+        hub_threshold = max(edges_per_block, 1 << 18)
+    has_hubs = max_deg > hub_threshold
 
     if not has_hubs:
         replicas = out_deg.select(
@@ -201,8 +217,8 @@ def plan_walk_blocks(
         nrep = out_deg.select(
             "v",
             F.when(
-                F.col("out_deg") > edges_per_block,
-                F.ceil(F.col("out_deg") / edges_per_block).cast("int"),
+                F.col("out_deg") > hub_threshold,
+                F.ceil(F.col("out_deg") / hub_threshold).cast("int"),
             )
             .otherwise(F.lit(1))
             .alias("n_rep"),

@@ -130,3 +130,35 @@ def test_mc_hub_split_parallelism_invariance(spark, hub_graph):
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     assert i1["has_hub_splits"] and i2["has_hub_splits"]
     assert d1 == d2  # byte-identical through the split path
+
+
+def test_auto_hub_threshold_decoupled_from_block_size(spark):
+    """Under AUTO block sizing the hub-split trigger is floored at 2^18
+    edges: a 6k-degree vertex on a small graph must NOT be treated as a
+    hub (the auto block size lands far below its degree), while an
+    EXPLICIT edges_per_block below the degree still forces the split.
+    Regression: the coupled default made moderate-degree vertices hubs on
+    small graphs, dragging the per-step multinomial router (and a 3^k
+    analyzer tree in the fused loop) into every superstep."""
+    pairs = [(0, d) for d in range(1, 6001)] + [(d, 0) for d in range(1, 50)]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    _, _, meta = plan_walk_blocks(e, edges_per_block=None, n_partitions=4)
+    assert not meta["has_hubs"]
+    assert meta["edges_per_block"] < 6000  # auto size IS below the degree
+    _, _, meta2 = plan_walk_blocks(e, edges_per_block=512, n_partitions=4)
+    assert meta2["has_hubs"]
+    for m in (meta, meta2):
+        for df in m["cached"]:
+            df.unpersist()
+
+
+def test_auto_fuse_steps_follows_hub_plan(spark, hub_graph, gnutella_mini):
+    """fuse_steps=None derives the segment length from the block plan:
+    1 with split hubs (3^k analyzer tree), 6 hub-free (2^k)."""
+    _, i_hub = pagerank_monte_carlo(
+        spark, hub_graph, walks_per_vertex=4, iterations=3, seed=7,
+        edges_per_block=64)
+    assert i_hub["has_hub_splits"] and i_hub["fuse_steps"] == 1
+    _, i_flat = pagerank_monte_carlo(
+        spark, gnutella_mini, walks_per_vertex=4, iterations=3, seed=7)
+    assert not i_flat["has_hub_splits"] and i_flat["fuse_steps"] == 6
