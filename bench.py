@@ -29,7 +29,9 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark(app_name="bench")
 
+    from montecarlopagerank_spark.algos.bfs import bfs_hops
     from montecarlopagerank_spark.algos.components import connected_components
+    from montecarlopagerank_spark.algos.hits import hits
     from montecarlopagerank_spark.algos.labelprop import label_propagation
     from montecarlopagerank_spark.algos.pagerank_mc import pagerank_monte_carlo
     from montecarlopagerank_spark.algos.pagerank_power import pagerank_power
@@ -98,6 +100,17 @@ def main() -> None:
 
     with timed("triangle_count"):
         extra["triangles"] = triangle_count(spark, edges)
+
+    with timed("hits_5"):
+        scores, _ = hits(spark, edges, vertices, iters=5)
+        scores.orderBy(F.desc("auth")).limit(20).collect()
+
+    with timed("bfs_hops_6"):
+        srcs = vertices.filter(F.col("kind") == "tool").select(
+            F.col("vid").alias("v")
+        )
+        dist, _ = bfs_hops(spark, edges, srcs, max_hops=6)
+        dist.groupBy("hops").count().collect()
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
