@@ -330,6 +330,48 @@ GROUP BY size""")
     return "".join(parts)
 
 
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Synchronous k-core peeling unrolled to ``rounds`` removal rounds —
+    the exact relational twin of algos/kcore.py (per round: degrees over
+    the surviving symmetric pair set, drop vertices with deg < k, keep
+    pairs whose BOTH endpoints survive). Peeling past the fixpoint is the
+    identity, so ``rounds`` unrolled rounds reproduce an engine run that
+    converged at any depth ≤ rounds (the engine asserts convergence; the
+    sf0.01 transcript graph peels in 18 rounds at k=2 — rounds=28 leaves
+    margin). Output: (v, deg) for every core vertex with its in-core
+    degree. CTEs are MATERIALIZED for the same reason as _cc_sql."""
+    mat = (
+        ("WITH " + SQL_TEDGES[1:])
+        .replace("turns AS (", "turns AS MATERIALIZED (")
+        .replace("chained AS (", "chained AS MATERIALIZED (")
+        .replace("tedges AS (", "tedges AS MATERIALIZED (")
+    )
+    parts = [
+        mat,
+        """,
+s0 AS MATERIALIZED (
+  SELECT DISTINCT u, w FROM (
+    SELECT src AS u, dst AS w FROM tedges WHERE src <> dst
+    UNION ALL
+    SELECT dst AS u, src AS w FROM tedges WHERE src <> dst
+  )
+)""",
+    ]
+    for r in range(rounds):
+        parts.append(f""",
+keep{r} AS MATERIALIZED (
+  SELECT u FROM s{r} GROUP BY u HAVING COUNT(*) >= {k}
+),
+s{r + 1} AS MATERIALIZED (
+  SELECT s.u, s.w FROM s{r} s
+  JOIN keep{r} a ON s.u = a.u JOIN keep{r} b ON s.w = b.u
+)""")
+    parts.append(f"""
+SELECT u AS v, CAST(COUNT(*) AS BIGINT) AS deg
+FROM s{rounds} GROUP BY u""")
+    return "".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # Spark-side helpers
 # ---------------------------------------------------------------------------
@@ -592,6 +634,21 @@ def q_link_prediction_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
     return common_neighbors_topk(spark, e, k=50, max_apex_degree=64)
 
 
+def q_k_core_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the transcript graph's undirected closure — every vertex
+    with its in-core degree, hash-checked against the unrolled synchronous
+    peeling twin (_kcore_sql(2, 28)). String-keyed edges so rows compare
+    directly; synchronous peeling is order-free, so no tie-break or
+    isomorphism argument is needed."""
+    from montecarlopagerank_spark.algos.kcore import k_core
+
+    e = _string_edges(spark, sf_dir).select("src", "dst")
+    core, info = k_core(spark, e, k=2, max_rounds=28)
+    if not info["converged"]:
+        raise RuntimeError(f"k_core did not converge: {info}")
+    return core.select("v", F.col("deg").cast("long").alias("deg"))
+
+
 def q_pagerank_personalized_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank, 5 exact supersteps (tol=0), teleport set =
     conversation u1's turn vertices ("rank the graph from one user's
@@ -792,6 +849,7 @@ QUERIES = {
     "triangle_count": q_triangle_count,
     "clustering_coefficient": q_clustering_coefficient,
     "link_prediction_top50": q_link_prediction_top50,
+    "k_core_2": q_k_core_2,
     "pagerank_personalized_fixed": q_pagerank_personalized_fixed,
     "hits_fixed5": q_hits_fixed5,
     "bfs_hops_tools": q_bfs_hops_tools,
@@ -856,6 +914,7 @@ ORDER BY in_deg DESC, verts.v ASC LIMIT 20
     "hits_fixed5": _hits_sql(5),
     "bfs_hops_tools": _bfs_sql(6),
     "connected_components_sizes": _cc_sql(24),
+    "k_core_2": _kcore_sql(2, 28),
     "label_propagation_fixed2": _lpa_sql(2),
     "label_propagation_sizes": _lpa_sql(10),
     "triangle_count": f"""
