@@ -32,6 +32,7 @@ def main() -> None:
     from montecarlopagerank_spark.algos.bfs import bfs_hops
     from montecarlopagerank_spark.algos.components import connected_components
     from montecarlopagerank_spark.algos.hits import hits
+    from montecarlopagerank_spark.algos.kcore import k_core
     from montecarlopagerank_spark.algos.labelprop import label_propagation
     from montecarlopagerank_spark.algos.pagerank_mc import pagerank_monte_carlo
     from montecarlopagerank_spark.algos.pagerank_power import pagerank_power
@@ -104,6 +105,11 @@ def main() -> None:
     with timed("hits_5"):
         scores, _ = hits(spark, edges, vertices, iters=5)
         scores.orderBy(F.desc("auth")).limit(20).collect()
+
+    with timed("k_core_2"):
+        core, kinfo = k_core(spark, edges, k=2)
+        core.groupBy("deg").count().orderBy(F.desc("count")).limit(5).collect()
+    extra["kcore_rounds"] = kinfo["rounds"]
 
     with timed("bfs_hops_6"):
         srcs = vertices.filter(F.col("kind") == "tool").select(

@@ -25,6 +25,7 @@ SUBSET = [
     # string-keyed LPA: exercises the argmax tie-break on a non-numeric
     # label type, which the vid-graph tests can't catch
     "label_propagation_fixed2",
+    "k_core_2",
 ]
 
 
