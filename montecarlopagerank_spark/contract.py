@@ -19,6 +19,8 @@ needs to reproduce the engine's vertex-id assignment.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -415,6 +417,28 @@ def q_transcripts_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_edge_counts_by_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _string_edges(spark, sf_dir)
+        .groupBy("kind")
+        .agg(F.count("*").alias("n_edges"))
+    )
+
+
+def q_edges_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-kind counts produced by the INCREMENTAL builder
+    (streaming/edge_stream.py): the events-derived transcripts are staged
+    to parquet, drained through the stateful availableNow stream, and the
+    sink is counted by kind — hash-checked against the same SQL twin as
+    the batch builder (edge_counts_by_kind), proving streaming/batch
+    parity on driver data."""
+    import tempfile
+
+    from montecarlopagerank_spark.streaming.edge_stream import run_edge_stream
+
+    root = tempfile.mkdtemp(prefix="mcpr_stream_")
+    inp, out, ck = (os.path.join(root, d) for d in ("in", "out", "ck"))
+    transcripts_from_events(spark, sf_dir).write.parquet(inp)
+    run_edge_stream(spark, inp, out, ck)
+    return (
+        spark.read.parquet(out)
         .groupBy("kind")
         .agg(F.count("*").alias("n_edges"))
     )
@@ -835,6 +859,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "transcripts_view": q_transcripts_view,
     "edge_counts_by_kind": q_edge_counts_by_kind,
+    "edges_streaming_counts": q_edges_streaming_counts,
     "turn_chain_edges": q_turn_chain_edges,
     "role_role_matrix": q_role_role_matrix,
     "tool_usage": q_tool_usage,
@@ -882,6 +907,10 @@ SELECT conv_id, turn_idx, role, text, tool,
 FROM turns
 """,
     "edge_counts_by_kind": f"""
+WITH {SQL_TEDGES[1:]}
+SELECT kind, COUNT(*) AS n_edges FROM tedges GROUP BY kind
+""",
+    "edges_streaming_counts": f"""
 WITH {SQL_TEDGES[1:]}
 SELECT kind, COUNT(*) AS n_edges FROM tedges GROUP BY kind
 """,

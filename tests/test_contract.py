@@ -26,6 +26,8 @@ SUBSET = [
     # label type, which the vid-graph tests can't catch
     "label_propagation_fixed2",
     "k_core_2",
+    # the streaming edge builder, hash-equal to the batch SQL twin
+    "edges_streaming_counts",
 ]
 
 
