@@ -102,6 +102,7 @@ def pagerank_power(
     resume: bool = False,
     n_partitions: int | None = None,
     sources: DataFrame | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> tuple[DataFrame, dict[str, Any]]:
     """Returns (``ranks(v:long, rank:double)``, info dict with iterations/
     deltas/converged). With ``checkpoint_dir``, every superstep commits a
@@ -116,7 +117,17 @@ def pagerank_power(
     not present in the graph are ignored. The loop shape is unchanged: the
     source flag rides the same cached co-partitioned side table as the
     dangling flag, so personalization costs zero extra joins or exchanges
-    per superstep."""
+    per superstep.
+
+    ``init_ranks`` (optional, ``(v, rank)``) WARM-STARTS the iteration
+    from a prior rank vector — the incremental-refresh path after the
+    streaming edge builder tops up the graph: ranks of a slightly-stale
+    fixpoint are a far better π0 than 1/n, so convergence needs only as
+    many supersteps as the perturbation is large (PageRank's fixpoint is
+    unique for ε>0, so the warm and cold runs converge to the SAME vector
+    — only the step count differs). Vertices new to the graph get 1/n;
+    the vector is renormalized to sum 1 (one extra setup job, never a
+    per-step cost). Ignored on resume (the checkpoint state wins)."""
     t_setup = time.time()
     n_parts = int(n_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
     verts, deg, contrib_edges, plan_cached = _prepare(edges, vertices, n_parts)
@@ -200,7 +211,30 @@ def pagerank_power(
         else:
             ckpt.clear()
     if start_step == 0:
-        if sources is None:
+        if init_ranks is not None:
+            # warm start: project the prior vector onto the current vertex
+            # set (new vertices ← 1/n), renormalize to a distribution, and
+            # read off the initial dangling mass — ONE setup aggregate job
+            r0 = vflag.join(
+                init_ranks.select("v", "rank").hint("shuffle_hash"), "v", "left"
+            ).select(
+                "v",
+                "dang",
+                F.coalesce("rank", F.lit(1.0) / n).alias("rank"),
+            )
+            r0 = r0.persist(StorageLevel.MEMORY_AND_DISK)
+            row = r0.agg(
+                F.sum("rank").alias("s"),
+                F.sum(
+                    F.when(F.col("dang"), F.col("rank")).otherwise(0.0)
+                ).alias("md"),
+            ).collect()[0]
+            state = store.materialize(
+                r0.select("v", (F.col("rank") / row["s"]).alias("rank"))
+            )
+            r0.unpersist()
+            m = (row["md"] or 0.0) / row["s"]
+        elif sources is None:
             state = store.materialize(
                 vflag.select("v", (F.lit(1.0) / n).alias("rank"))
             )

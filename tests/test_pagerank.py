@@ -362,3 +362,38 @@ def test_mc_fused_kernel_runs_once_per_step(spark, gnutella_mini,
         assert n <= n_blocks, (
             f"step {s} kernel ran {n}× for {n_blocks} blocks — "
             "exchange reuse is broken (recompute per consumer)")
+
+
+def test_pi_warm_start_incremental(spark, gnutella_mini, gnutella_mini_pairs):
+    """Warm start (init_ranks=stale fixpoint) after an edge top-up: same
+    fixpoint as a cold run (unique for eps>0), reached in fewer
+    supersteps — the incremental-refresh path behind the streaming edge
+    builder."""
+    from tests.conftest import edges_df
+
+    base_pairs = gnutella_mini_pairs[: len(gnutella_mini_pairs) - 20]
+    stale, _ = pagerank_power(
+        spark, edges_df(spark, base_pairs), tol=1e-9, max_iters=200
+    )
+    cold, cold_info = pagerank_power(
+        spark, gnutella_mini, tol=1e-9, max_iters=200
+    )
+    warm, warm_info = pagerank_power(
+        spark, gnutella_mini, tol=1e-9, max_iters=200, init_ranks=stale
+    )
+    assert cold_info["converged"] and warm_info["converged"]
+    assert warm_info["iterations"] < cold_info["iterations"]
+    got, want = ranks_dict(warm), ranks_dict(cold)
+    assert set(got) == set(want)
+    for v, r in want.items():
+        assert got[v] == pytest.approx(r, abs=1e-6), f"vertex {v}"
+    # warm vector is a distribution
+    assert warm.agg(F.sum("rank")).collect()[0][0] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pi_warm_start_at_fixpoint_converges_immediately(spark, gnutella_mini):
+    fix, _ = pagerank_power(spark, gnutella_mini, tol=1e-10, max_iters=300)
+    warm, info = pagerank_power(
+        spark, gnutella_mini, tol=1e-6, max_iters=10, init_ranks=fix
+    )
+    assert info["converged"] and info["iterations"] <= 2
