@@ -50,7 +50,12 @@ from montecarlopagerank_spark.operators.state import StateStore
 EPS = 0.15  # jump probability, MonteCarloPageRank.scala:28
 
 
-def _prepare(edges: DataFrame, vertices: DataFrame | None, n_parts: int):
+def _prepare(
+    edges: DataFrame,
+    vertices: DataFrame | None,
+    n_parts: int,
+    weight_col: str | None = None,
+):
     """Loop-invariant structures: closed vertex set, out-degrees, and the
     (src, dst, inv_deg) contribution-edge table partitioned by src.
 
@@ -66,17 +71,27 @@ def _prepare(edges: DataFrame, vertices: DataFrame | None, n_parts: int):
     Returns ``(verts, deg, contrib_edges, cached)`` — callers unpersist
     ``cached`` once their own loop-invariant caches are materialized."""
     e2 = edges.repartition(n_parts, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    out_deg = (
-        e2.groupBy("src")
-        .agg(F.count("*").alias("out_deg"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # weighted graphs: the per-edge contribution fraction becomes
+    # w(src,dst)/W(src) instead of 1/out_deg — same one-pass degree agg
+    # (count and weight-sum together), identical loop downstream. A
+    # multigraph with duplicate rows and its collapsed (src, dst,
+    # weight=multiplicity) form produce the SAME fractions, which is what
+    # the oracle query pins (contract.q_pagerank_weighted_fixed).
+    aggs = [F.count("*").alias("out_deg")]
+    if weight_col is not None:
+        aggs.append(F.sum(weight_col).alias("out_w"))
+    out_deg = e2.groupBy("src").agg(*aggs).persist(StorageLevel.MEMORY_AND_DISK)
+    frac = (
+        F.lit(1.0) / F.col("out_deg")
+        if weight_col is None
+        else F.col(weight_col) / F.col("out_w")
     )
     # shuffle_hash: the O(V) degree table exceeds the broadcast threshold
     # well before 100 TB, and a sort-merge join would SORT the full edge
     # table — the hint streams the cached edges in place and hash-builds
     # the per-partition degree slice instead (no edge sort, no exchange)
     contrib_edges = e2.join(out_deg.hint("shuffle_hash"), "src").select(
-        "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("inv_deg")
+        "src", "dst", frac.alias("inv_deg")
     )
     verts = (
         vertices.select(F.col("vid").alias("v"))
@@ -103,6 +118,7 @@ def pagerank_power(
     n_partitions: int | None = None,
     sources: DataFrame | None = None,
     init_ranks: DataFrame | None = None,
+    weight_col: str | None = None,
 ) -> tuple[DataFrame, dict[str, Any]]:
     """Returns (``ranks(v:long, rank:double)``, info dict with iterations/
     deltas/converged). With ``checkpoint_dir``, every superstep commits a
@@ -127,10 +143,17 @@ def pagerank_power(
     unique for ε>0, so the warm and cold runs converge to the SAME vector
     — only the step count differs). Vertices new to the graph get 1/n;
     the vector is renormalized to sum 1 (one extra setup job, never a
-    per-step cost). Ignored on resume (the checkpoint state wins)."""
+    per-step cost). Ignored on resume (the checkpoint state wins).
+
+    ``weight_col`` names an edge weight column: contributions become
+    rank·w(src,dst)/W(src) (W = the source's total outgoing weight).
+    Dangling = no out-edges at all, as in the unweighted case. The loop
+    shape is unchanged — only the cached per-edge fraction differs."""
     t_setup = time.time()
     n_parts = int(n_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
-    verts, deg, contrib_edges, plan_cached = _prepare(edges, vertices, n_parts)
+    verts, deg, contrib_edges, plan_cached = _prepare(
+        edges, vertices, n_parts, weight_col
+    )
     # the explicit repartition at the cache boundary is NOT redundant with
     # _prepare's: an AQE-planned cached join hides its output partitioning
     # from downstream planning, so without this node every loop iteration

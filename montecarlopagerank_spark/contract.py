@@ -504,6 +504,29 @@ def q_pagerank_power_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank_weighted_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank, 5 exact supersteps, on the multigraph COLLAPSED
+    to (src, dst, weight=multiplicity). Contribution fractions
+    w/W(src) equal the raw multigraph's per-row 1/out_deg sums, so the
+    oracle is the SAME unrolled twin as pagerank_power_fixed (_pi_sql(5))
+    — a hash-exact proof that the weighted path computes the weighted
+    semantics."""
+    from montecarlopagerank_spark.algos.pagerank_power import pagerank_power
+
+    edges, vertices, key = _vid_graph(spark, sf_dir)
+    weighted = edges.groupBy("src", "dst").agg(
+        F.count("*").cast("double").alias("weight")
+    )
+    ranks, info = pagerank_power(
+        spark, weighted, vertices, tol=0.0, max_iters=5, weight_col="weight"
+    )
+    n = info["n"]
+    return ranks.join(key, ranks.v == key.vid).select(
+        F.col("vkey").alias("v"),
+        F.round(F.col("rank") * F.lit(float(n)), 6).alias("rank_scaled"),
+    )
+
+
 def q_pagerank_power_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: converged PI, top 20 central vertices (rows-only)."""
     from montecarlopagerank_spark.algos.pagerank_power import pagerank_power, top_k
@@ -865,6 +888,7 @@ QUERIES = {
     "tool_usage": q_tool_usage,
     "degree_top20": q_degree_top20,
     "pagerank_power_fixed": q_pagerank_power_fixed,
+    "pagerank_weighted_fixed": q_pagerank_weighted_fixed,
     "pagerank_power_top20": q_pagerank_power_top20,
     "pagerank_mc_top20": q_pagerank_mc_top20,
     "mc_pi_agreement": q_mc_pi_agreement,
@@ -939,6 +963,7 @@ FROM verts LEFT JOIN outd ON verts.v = outd.v LEFT JOIN ind ON verts.v = ind.v
 ORDER BY in_deg DESC, verts.v ASC LIMIT 20
 """,
     "pagerank_power_fixed": _pi_sql(5),
+    "pagerank_weighted_fixed": _pi_sql(5),
     "pagerank_personalized_fixed": _ppr_sql(5),
     "hits_fixed5": _hits_sql(5),
     "bfs_hops_tools": _bfs_sql(6),

@@ -397,3 +397,41 @@ def test_pi_warm_start_at_fixpoint_converges_immediately(spark, gnutella_mini):
         spark, gnutella_mini, tol=1e-6, max_iters=10, init_ranks=fix
     )
     assert info["converged"] and info["iterations"] <= 2
+
+
+def test_pi_weighted_vs_python_oracle(spark):
+    """Non-uniform float weights vs an independent dense python PI."""
+    wedges = [(0, 1, 3.0), (0, 2, 1.0), (1, 2, 2.0), (2, 0, 5.0), (3, 0, 1.0)]
+    e = spark.createDataFrame(wedges, "src long, dst long, weight double")
+    ranks, info = pagerank_power(
+        spark, e, tol=1e-12, max_iters=300, weight_col="weight"
+    )
+    assert info["converged"]
+    # python twin: eps jump + dangling mass uniform, contribs w/W(src)
+    eps, n = 0.15, 4
+    outw = {0: 4.0, 1: 2.0, 2: 5.0, 3: 1.0}
+    r = {v: 1.0 / n for v in range(n)}
+    for _ in range(400):
+        contrib = {v: 0.0 for v in range(n)}
+        for s, d, w in wedges:
+            contrib[d] += r[s] * w / outw[s]
+        m = sum(r[v] for v in range(n) if v not in outw)
+        r = {v: eps / n + (1 - eps) * (m / n + contrib[v]) for v in range(n)}
+    got = ranks_dict(ranks)
+    for v in range(n):
+        assert got[v] == pytest.approx(r[v], abs=1e-9), f"vertex {v}"
+
+
+def test_pi_weighted_multiplicity_equals_multigraph(spark):
+    """Collapsed (src,dst,weight=multiplicity) == raw multigraph PI."""
+    dup = [(0, 1), (0, 1), (0, 2), (1, 2), (2, 0), (2, 0), (2, 0)]
+    e = spark.createDataFrame(dup, "src long, dst long")
+    w = e.groupBy("src", "dst").agg(F.count("*").cast("double").alias("weight"))
+    r1, _ = pagerank_power(spark, e, tol=1e-12, max_iters=300)
+    r2, _ = pagerank_power(
+        spark, w, tol=1e-12, max_iters=300, weight_col="weight"
+    )
+    a, b = ranks_dict(r1), ranks_dict(r2)
+    assert set(a) == set(b)
+    for v in a:
+        assert a[v] == pytest.approx(b[v], abs=1e-12), f"vertex {v}"
