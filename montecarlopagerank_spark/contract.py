@@ -490,6 +490,52 @@ def q_degree_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-degree histogram of the directed multigraph (vertices with no
+    out-edges appear as out_deg 0) — the first chart anyone draws on a
+    link graph; single partial-aggregable two-level groupBy."""
+    e = _string_edges(spark, sf_dir)
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .unionByName(e.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    outd = e.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("out_deg"))
+    full = verts.join(outd, "v", "left").select(
+        F.coalesce("out_deg", F.lit(0)).alias("out_deg")
+    )
+    return (
+        full.groupBy("out_deg")
+        .agg(F.count("*").alias("n_vertices"))
+        .select(F.col("out_deg").cast("long").alias("out_deg"), "n_vertices")
+    )
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the undirected simple closure: Pearson
+    correlation of endpoint degrees over the symmetric edge list (Newman,
+    PRL 2002) — one number separating hub-attracts-hub graphs from
+    hub-attracts-leaf graphs like this one. Pure aggregates (corr is
+    sums/counts), rounded to 6 for the fp-stable hash."""
+    e = _string_edges(spark, sf_dir)
+    und = (
+        e.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("y"))
+        .distinct()
+    )
+    sym = und.select(F.col("x").alias("u"), F.col("y").alias("w")).unionByName(
+        und.select(F.col("y").alias("u"), F.col("x").alias("w"))
+    )
+    deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    du = deg.withColumnRenamed("u", "a").withColumnRenamed("d", "du")
+    dw = deg.withColumnRenamed("u", "b").withColumnRenamed("d", "dw")
+    return (
+        sym.join(du, sym.u == du.a)
+        .join(dw, sym.w == dw.b)
+        .agg(F.round(F.corr("du", "dw"), 6).alias("assortativity_r6"))
+    )
+
+
 def q_pagerank_power_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5 exact supersteps (tol=0) — oracle-checked against the unrolled
     SQL twin to round(rank*n, 6)."""
@@ -887,6 +933,8 @@ QUERIES = {
     "role_role_matrix": q_role_role_matrix,
     "tool_usage": q_tool_usage,
     "degree_top20": q_degree_top20,
+    "degree_distribution": q_degree_distribution,
+    "degree_assortativity": q_degree_assortativity,
     "pagerank_power_fixed": q_pagerank_power_fixed,
     "pagerank_weighted_fixed": q_pagerank_weighted_fixed,
     "pagerank_power_top20": q_pagerank_power_top20,
@@ -961,6 +1009,28 @@ SELECT verts.v, COALESCE(ind.in_deg, 0) AS in_deg,
        COALESCE(outd.out_deg, 0) AS out_deg
 FROM verts LEFT JOIN outd ON verts.v = outd.v LEFT JOIN ind ON verts.v = ind.v
 ORDER BY in_deg DESC, verts.v ASC LIMIT 20
+""",
+    "degree_distribution": f"""
+WITH {SQL_TEDGES[1:]},
+verts AS (SELECT src AS v FROM tedges UNION SELECT dst FROM tedges),
+outd AS (SELECT src AS v, COUNT(*) AS out_deg FROM tedges GROUP BY src)
+SELECT CAST(COALESCE(outd.out_deg, 0) AS BIGINT) AS out_deg,
+       COUNT(*) AS n_vertices
+FROM verts LEFT JOIN outd ON verts.v = outd.v
+GROUP BY 1
+""",
+    "degree_assortativity": f"""
+WITH {SQL_TEDGES[1:]},
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS x, GREATEST(src, dst) AS y
+  FROM tedges WHERE src <> dst
+),
+sym AS (
+  SELECT x AS u, y AS w FROM und UNION ALL SELECT y, x FROM und
+),
+deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u)
+SELECT ROUND(CORR(du.d, dw.d), 6) AS assortativity_r6
+FROM sym JOIN deg du ON sym.u = du.u JOIN deg dw ON sym.w = dw.u
 """,
     "pagerank_power_fixed": _pi_sql(5),
     "pagerank_weighted_fixed": _pi_sql(5),
