@@ -118,6 +118,20 @@ def main() -> None:
         dist, _ = bfs_hops(spark, edges, srcs, max_hops=6)
         dist.groupBy("hops").count().collect()
 
+    # incremental edge maintenance: stage the transcripts as a parquet
+    # "log" outside the timer, then time the stateful availableNow drain
+    import tempfile
+
+    from montecarlopagerank_spark.streaming.edge_stream import run_edge_stream
+
+    stream_root = tempfile.mkdtemp(prefix="bench_stream_")
+    ts.write.parquet(f"{stream_root}/in")
+    with timed("edge_stream_drain"):
+        run_edge_stream(
+            spark, f"{stream_root}/in", f"{stream_root}/out", f"{stream_root}/ck"
+        )
+        extra["stream_edges"] = spark.read.parquet(f"{stream_root}/out").count()
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
