@@ -649,6 +649,26 @@ def q_connected_components_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCC size histogram of the DIRECTED transcript graph (trim +
+    coloring, algos/scc.py). No SQL twin — a relational SCC needs the
+    transitive closure (O(n²) pairs in DuckDB); correctness is pinned
+    exactly against an iterative Tarjan on random digraphs and
+    handcrafted cycle/chain/DAG fixtures (tests/test_scc.py)."""
+    from montecarlopagerank_spark.algos.scc import strongly_connected_components
+
+    edges, vertices, _ = _vid_graph(spark, sf_dir)
+    scc, info = strongly_connected_components(spark, edges, vertices)
+    if not info["converged"]:
+        raise RuntimeError(f"scc did not converge: {info}")
+    sizes = scc.groupBy("scc").agg(F.count("*").alias("size"))
+    return (
+        sizes.groupBy("size")
+        .agg(F.count("*").alias("n_components"))
+        .select(F.col("size").cast("long").alias("size"), "n_components")
+    )
+
+
 def q_label_propagation_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label community size histogram after ≤10 rounds, hash-checked vs a
     10-round unrolled DuckDB twin (_lpa_sql(10)). The engine may stop
@@ -941,6 +961,7 @@ QUERIES = {
     "pagerank_mc_top20": q_pagerank_mc_top20,
     "mc_pi_agreement": q_mc_pi_agreement,
     "connected_components_sizes": q_connected_components_sizes,
+    "scc_sizes": q_scc_sizes,
     "label_propagation_sizes": q_label_propagation_sizes,
     "label_propagation_fixed2": q_label_propagation_fixed2,
     "triangle_count": q_triangle_count,
