@@ -91,3 +91,83 @@ def bfs_hops(
         "max_hops": max_hops,
         "secs": round(time.time() - t0, 3),
     }
+
+
+def harmonic_centrality(
+    spark: SparkSession,
+    edges: DataFrame,
+    landmarks: DataFrame,
+    max_hops: int = 6,
+    directed: bool = False,
+    n_partitions: int | None = None,
+) -> tuple[DataFrame, dict[str, Any]]:
+    """Landmark harmonic centrality (Boldi & Vigna, "Axioms for
+    Centrality", Internet Math 2014): ``h(v) = Σ_l 1/d(v,l)`` over the
+    landmark set, d capped at ``max_hops`` (unreached terms contribute 0,
+    which is harmonic's built-in disconnection handling — no 1/∞
+    special-casing). Exact per-landmark hop distances come from ONE
+    multi-source BFS whose state is keyed (landmark, vertex) — landmarks
+    expand simultaneously, so the loop costs the same number of rounds as
+    a single BFS, not |landmarks| of them. Same one-job-per-hop /
+    O(frontier) shape as :func:`bfs_hops`.
+
+    Returns (``scores(v, harmonic)``, info). Vertices reaching no
+    landmark within the cap are absent (h = 0)."""
+    t0 = time.time()
+    n_parts = int(n_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    e = edges.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col("dst").alias("u"), F.col("src").alias("w"))
+        )
+    e = (
+        e.filter(F.col("u") != F.col("w"))
+        .distinct()
+        .repartition(n_parts, "u")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    e.count()
+
+    store = StateStore(spark)
+    frontier = store.materialize(
+        landmarks.select(F.col("v").alias("l"), "v")
+        .distinct()
+        .repartition(n_parts, "v"),
+        "hc_frontier",
+    )
+    visited = store.materialize(
+        frontier.select("l", "v", F.lit(0).alias("hops")), "hc_dist"
+    )
+    rounds = 0
+    for hop in range(1, max_hops + 1):
+        obs = Observation(f"hc_round_{hop}")
+        nxt = (
+            e.join(
+                frontier.repartition(n_parts, "v").hint("shuffle_hash"),
+                e["u"] == F.col("v"),
+            )
+            .select("l", F.col("w").alias("v"))
+            .distinct()
+            .withColumn("hops", F.lit(hop))
+            .join(visited.hint("shuffle_hash"), ["l", "v"], "left_anti")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+        )
+        new = store.materialize(nxt, "hc_frontier")
+        if obs.get["n"] == 0:
+            break
+        rounds = hop
+        frontier = new.select("l", "v")
+        visited = store.materialize(visited.unionByName(new), "hc_dist")
+    e.unpersist()
+    out = (
+        visited.filter(F.col("hops") > 0)  # d(l,l)=0 excluded (l ≠ v terms)
+        .groupBy("v")
+        .agg(F.sum(F.lit(1.0) / F.col("hops")).alias("harmonic"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    out.count()
+    return out, {
+        "rounds": rounds,
+        "max_hops": max_hops,
+        "secs": round(time.time() - t0, 3),
+    }

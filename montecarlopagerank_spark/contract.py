@@ -332,6 +332,39 @@ GROUP BY size""")
     return "".join(parts)
 
 
+def _harmonic_sql(max_hops: int) -> str:
+    """Landmark harmonic centrality twin: per-(landmark, vertex) min-hop
+    relaxation unrolled ``max_hops`` rounds (exact for hop-capped
+    distances, like _bfs_sql), then Σ 1/d over d>0."""
+    parts = [
+        "WITH " + SQL_TEDGES[1:],
+        """,
+verts AS (SELECT src AS v FROM tedges UNION SELECT dst FROM tedges),
+sym AS MATERIALIZED (
+  SELECT DISTINCT u, w FROM (
+    SELECT src AS u, dst AS w FROM tedges WHERE src <> dst
+    UNION ALL
+    SELECT dst AS u, src AS w FROM tedges WHERE src <> dst
+  )
+),
+d0 AS (SELECT v AS l, v, 0 AS hops FROM verts WHERE v LIKE 'tool#%')""",
+    ]
+    for i in range(max_hops):
+        parts.append(f""",
+d{i + 1} AS MATERIALIZED (
+  SELECT l, v, MIN(hops) AS hops FROM (
+    SELECT l, v, hops FROM d{i}
+    UNION ALL
+    SELECT d.l, s.w AS v, d.hops + 1 AS hops
+    FROM sym s JOIN d{i} d ON s.u = d.v
+  ) GROUP BY l, v
+)""")
+    parts.append(f"""
+SELECT v, ROUND(SUM(1.0 / hops), 6) AS harmonic_r6
+FROM d{max_hops} WHERE hops > 0 GROUP BY v""")
+    return "".join(parts)
+
+
 def _kcore_sql(k: int, rounds: int) -> str:
     """Synchronous k-core peeling unrolled to ``rounds`` removal rounds —
     the exact relational twin of algos/kcore.py (per round: degrees over
@@ -649,6 +682,23 @@ def q_connected_components_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_harmonic_centrality_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality from the tool-vertex landmarks, hop cap 6,
+    undirected closure — hash-checked vs the per-(landmark, vertex)
+    relaxation twin (_harmonic_sql(6)) to round(h, 6)."""
+    from montecarlopagerank_spark.algos.bfs import harmonic_centrality
+
+    e = _string_edges(spark, sf_dir).select("src", "dst")
+    lmk = (
+        e.select(F.col("src").alias("v"))
+        .unionByName(e.select(F.col("dst").alias("v")))
+        .filter(F.col("v").startswith("tool#"))
+        .distinct()
+    )
+    h, _info = harmonic_centrality(spark, e, lmk, max_hops=6)
+    return h.select("v", F.round("harmonic", 6).alias("harmonic_r6"))
+
+
 def q_scc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCC size histogram of the DIRECTED transcript graph (trim +
     coloring, algos/scc.py). No SQL twin — a relational SCC needs the
@@ -962,6 +1012,7 @@ QUERIES = {
     "mc_pi_agreement": q_mc_pi_agreement,
     "connected_components_sizes": q_connected_components_sizes,
     "scc_sizes": q_scc_sizes,
+    "harmonic_centrality_tools": q_harmonic_centrality_tools,
     "label_propagation_sizes": q_label_propagation_sizes,
     "label_propagation_fixed2": q_label_propagation_fixed2,
     "triangle_count": q_triangle_count,
@@ -1058,6 +1109,7 @@ FROM sym JOIN deg du ON sym.u = du.u JOIN deg dw ON sym.w = dw.u
     "pagerank_personalized_fixed": _ppr_sql(5),
     "hits_fixed5": _hits_sql(5),
     "bfs_hops_tools": _bfs_sql(6),
+    "harmonic_centrality_tools": _harmonic_sql(6),
     "connected_components_sizes": _cc_sql(24),
     "k_core_2": _kcore_sql(2, 28),
     "label_propagation_fixed2": _lpa_sql(2),

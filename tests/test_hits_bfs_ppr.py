@@ -176,3 +176,32 @@ def test_bfs_early_stop_on_empty_frontier(spark, cycle5):
     dist, info = bfs_hops(spark, cycle5, srcs, max_hops=50)
     assert dist.count() == 5
     assert info["rounds"] <= 3  # cycle of 5: eccentricity 2 undirected
+
+
+def test_harmonic_centrality_path_graph(spark):
+    """Path 0-1-2-3-4, landmarks {0, 4}: h(v) = 1/d(v,0) + 1/d(v,4),
+    landmark self-terms excluded."""
+    from montecarlopagerank_spark.algos.bfs import harmonic_centrality
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    lmk = spark.createDataFrame([(0,), (4,)], "v long")
+    h, info = harmonic_centrality(spark, e, lmk, max_hops=6)
+    got = {r["v"]: r["harmonic"] for r in h.collect()}
+    want = {0: 1 / 4, 1: 1 + 1 / 3, 2: 1 / 2 + 1 / 2, 3: 1 / 3 + 1, 4: 1 / 4}
+    assert set(got) == set(want)
+    for v, x in want.items():
+        assert got[v] == pytest.approx(x, abs=1e-12), f"vertex {v}"
+
+
+def test_harmonic_centrality_hop_cap_drops_far_terms(spark):
+    from montecarlopagerank_spark.algos.bfs import harmonic_centrality
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    lmk = spark.createDataFrame([(0,)], "v long")
+    h, _ = harmonic_centrality(spark, e, lmk, max_hops=2)
+    got = {r["v"]: r["harmonic"] for r in h.collect()}
+    assert got == {1: 1.0, 2: 0.5}  # 3, 4 unreached; landmark 0 absent
