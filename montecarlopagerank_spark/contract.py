@@ -995,6 +995,65 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return real_decode(media).select("media_id", "kind", "n_bytes", "decoder")
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization (4h gap) of the events table → per-session
+    aggregates. One shuffle on user_id; the groupBy reuses the window's
+    hash partitioning (pipeline/temporal.py docstring)."""
+    from montecarlopagerank_spark.pipeline.temporal import session_stats
+
+    return session_stats(_events(spark, sf_dir), gap_us=14_400_000_000).select(
+        "user_id", "session_id", "n_events", "duration_us", "first_event_id"
+    )
+
+
+def q_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase event matched to the user's
+    most recent signup at-or-before it (union + last-non-null window —
+    one shuffle, no join explosion). Right side deduped to max event_id
+    per (user, ts) so the match is deterministic; hash-checked against
+    DuckDB's native ASOF LEFT JOIN."""
+    from montecarlopagerank_spark.pipeline.temporal import _us, asof_join
+
+    ev = _events(spark, sf_dir).withColumn("us", _us("ts"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "us", "event_id"
+    )
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "us")
+        .agg(F.max("event_id").alias("signup_event_id"))
+        .withColumn("signup_us", F.col("us"))
+    )
+    out = asof_join(
+        purchases, signups, on="user_id", ts="us",
+        right_cols=["signup_event_id", "signup_us"],
+    )
+    return out.select(
+        "event_id",
+        "signup_event_id",
+        (F.col("us") - F.col("signup_us")).alias("lag_us"),
+    )
+
+
+def q_range_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """±2h interval join: for each error event, how many other events the
+    same user produced within the window. Bucketed by floor(ts/W) so the
+    Spark side is a plain co-partitioned equi-join (left exploded ×3) —
+    the oracle is the naive inequality join DuckDB can afford at sf0.01."""
+    from montecarlopagerank_spark.pipeline.temporal import _us, range_join_count
+
+    ev = _events(spark, sf_dir).withColumn("us", _us("ts"))
+    errors = ev.filter(F.col("event_type") == "error")
+    return range_join_count(
+        errors, ev, on="user_id", ts="us", window_us=7_200_000_000,
+        left_id="event_id", right_id="event_id",
+    )
+
+
 QUERIES = {
     "transcripts_view": q_transcripts_view,
     "edge_counts_by_kind": q_edge_counts_by_kind,
@@ -1034,6 +1093,9 @@ QUERIES = {
     "embedding_topk_lsh": q_embedding_topk_lsh,
     "embedding_near_dup_exact": q_embedding_near_dup_exact,
     "media_features": q_media_features,
+    "sessionize_events": q_sessionize_events,
+    "asof_last_signup": q_asof_last_signup,
+    "range_join_counts": q_range_join_counts,
 }
 
 
@@ -1310,5 +1372,48 @@ SELECT a.vec_id AS a, b.vec_id AS b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),
             6) >= 0.4
+""",
+    "sessionize_events": """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+lagd AS (
+  SELECT *, LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS pus
+  FROM e
+),
+marked AS (
+  SELECT *, CASE WHEN pus IS NULL OR us - pus > 14400000000 THEN 1 ELSE 0 END
+              AS new_s
+  FROM lagd
+),
+sess AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events, MAX(us) - MIN(us) AS duration_us,
+       MIN(event_id) AS first_event_id
+FROM sess GROUP BY user_id, session_id
+""",
+    "asof_last_signup": """
+WITH p AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+  WHERE event_type = 'purchase'
+),
+s AS (
+  SELECT user_id, epoch_us(ts) AS sus, MAX(event_id) AS signup_event_id
+  FROM events WHERE event_type = 'signup' GROUP BY user_id, epoch_us(ts)
+)
+SELECT p.event_id, s.signup_event_id, p.us - s.sus AS lag_us
+FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.us >= s.sus
+""",
+    "range_join_counts": """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+err AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'error')
+SELECT err.event_id, COUNT(x.event_id) AS n_nearby
+FROM err LEFT JOIN e x ON err.user_id = x.user_id
+  AND x.event_id <> err.event_id AND ABS(x.us - err.us) <= 7200000000
+GROUP BY err.event_id
 """,
 }
