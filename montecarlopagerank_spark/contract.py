@@ -1054,6 +1054,62 @@ def q_range_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+# data-mixture weights for mixture_sample_counts: src{i} keeps 90/50/20%
+# by i % 3 — mirrored literally in the SQL twin's CASE
+MIX_WEIGHTS = {f"src{i}": [0.9, 0.5, 0.2][i % 3] for i in range(20)}
+
+
+def q_hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split of documents by md5
+    bucket of doc_id (pipeline/sampling.py), audited as counts + char
+    mass per (split, lang). Pure projection — no shuffle until the
+    audit groupBy."""
+    from montecarlopagerank_spark.pipeline.sampling import hash_split
+
+    s = hash_split(
+        _documents(spark, sf_dir),
+        key_col="doc_id",
+        splits={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return s.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+def q_mixture_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture sampling (keep fraction 0.9/0.5/0.2 cycling by
+    source index) — a deterministic hash filter, audited as kept-count
+    per source."""
+    from montecarlopagerank_spark.pipeline.sampling import mixture_sample
+
+    kept = mixture_sample(
+        _documents(spark, sf_dir),
+        source_col="source",
+        key_col="doc_id",
+        weights=MIX_WEIGHTS,
+    )
+    return kept.groupBy("source").agg(F.count("*").alias("n_kept"))
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 200-char windows every 160 chars
+    (40-char overlap), content integrity hash-checked via md5 of every
+    chunk against DuckDB generate_series + substr."""
+    from montecarlopagerank_spark.pipeline.sampling import chunk_text
+
+    c = chunk_text(
+        _documents(spark, sf_dir), id_col="doc_id", text_col="text",
+        size=200, stride=160,
+    )
+    return c.select(
+        "doc_id", "chunk_idx", "chunk_len", F.md5("chunk").alias("chunk_md5")
+    )
+
+
 QUERIES = {
     "transcripts_view": q_transcripts_view,
     "edge_counts_by_kind": q_edge_counts_by_kind,
@@ -1096,6 +1152,9 @@ QUERIES = {
     "sessionize_events": q_sessionize_events,
     "asof_last_signup": q_asof_last_signup,
     "range_join_counts": q_range_join_counts,
+    "hash_split_counts": q_hash_split_counts,
+    "mixture_sample_counts": q_mixture_sample_counts,
+    "chunk_documents": q_chunk_documents,
 }
 
 
@@ -1415,5 +1474,46 @@ SELECT err.event_id, COUNT(x.event_id) AS n_nearby
 FROM err LEFT JOIN e x ON err.user_id = x.user_id
   AND x.event_id <> err.event_id AND ABS(x.us - err.us) <= 7200000000
 GROUP BY err.event_id
+""",
+    # thresholds are int(cum_frac * 2^32): 0.8→3435973836, 0.9→3865470566
+    "hash_split_counts": """
+WITH b AS (
+  SELECT lang, n_chars,
+         ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+           AS bkt
+  FROM documents
+)
+SELECT CASE WHEN bkt < 3435973836 THEN 'train'
+            WHEN bkt < 3865470566 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM b GROUP BY 1, 2
+""",
+    # keep fractions 0.9/0.5/0.2 by source index % 3:
+    # int(w * 2^32) = 3865470566 / 2147483648 / 858993459
+    "mixture_sample_counts": """
+WITH b AS (
+  SELECT source,
+         ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+           AS bkt
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_kept
+FROM b
+WHERE bkt < CASE CAST(substr(source, 4) AS INT) % 3
+            WHEN 0 THEN 3865470566 WHEN 1 THEN 2147483648
+            ELSE 858993459 END
+GROUP BY source
+""",
+    "chunk_documents": """
+WITH s AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(length(text), 1), 160)) AS strt
+  FROM documents
+)
+SELECT doc_id, CAST((strt - 1) // 160 AS BIGINT) AS chunk_idx,
+       CAST(length(substr(text, strt, 200)) AS BIGINT) AS chunk_len,
+       md5(substr(text, strt, 200)) AS chunk_md5
+FROM s
 """,
 }

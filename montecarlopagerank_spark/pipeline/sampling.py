@@ -1,0 +1,131 @@
+"""Deterministic sampling / splitting / chunking for training-data prep.
+
+New-engine scope: the three operations every large-scale LLM data
+pipeline runs between dedup and tokenization —
+
+- ``hash_split``: train/val/test assignment that is a pure function of
+  the row key (md5 bucket), so it is stable across reruns, cluster
+  sizes, and row order, and any later job can re-derive the split
+  without a membership table. No shuffle: a projection the optimizer
+  pushes into the scan stage.
+- ``mixture_sample``: per-source down/up-weighting (the "data mixture"
+  step) by comparing the same kind of hash bucket against a per-source
+  keep fraction. A pure filter — at 100 TB this is the difference
+  between a full-pass filter and a join against a sampled-id table.
+- ``chunk_text``: fixed-width (optionally overlapping) context-window
+  chunking via ``sequence + posexplode + substr`` — a narrow,
+  shuffle-free explosion whose output size is len/stride per doc.
+
+Hashing is md5-based (not xxhash64) so the DuckDB oracle can reproduce
+the buckets bit-exactly: Spark ``conv(substr(md5(k),1,8),16,10)`` ==
+DuckDB ``('0x' || substr(md5(k),1,8))::UBIGINT`` (contract.py twins).
+md5 is ~2× slower than xxhash64 per row but both are scan-stage
+codegen; swap the bucket fn for xxhash64 in production if oracle
+parity is not needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 1 << 32  # md5 prefix space: first 8 hex chars
+
+
+def hash_bucket(key: Column, salt: str = "") -> Column:
+    """Deterministic bucket in [0, 2^32) from the md5 of salt+key."""
+    s = F.concat(F.lit(salt), key.cast("string"))
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def hash_split(
+    df: DataFrame,
+    *,
+    key_col: str,
+    splits: dict[str, float],
+    salt: str = "split:",
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to a named split with
+    probability ~= its fraction, as a pure function of the key.
+
+    ``splits`` is name → fraction in insertion order; fractions must sum
+    to ~1 (the last split absorbs rounding). Rows with equal keys land
+    in the same split by construction — dedup BEFORE splitting if leak-
+    freedom across splits is required for duplicate texts.
+    """
+    fracs = list(splits.values())
+    if not fracs or abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {splits}")
+    b = hash_bucket(F.col(key_col), salt)
+    names = list(splits)
+    expr = F.lit(names[-1])
+    cum = 0.0
+    thresholds = []
+    for frac in fracs[:-1]:
+        cum += frac
+        thresholds.append(int(cum * BUCKETS))
+    for name, thr in reversed(list(zip(names[:-1], thresholds))):
+        expr = F.when(b < thr, name).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def split_thresholds(splits: dict[str, float]) -> list[tuple[str, int]]:
+    """(name, upper_bound_bucket) pairs for the SQL oracle twin."""
+    out, cum = [], 0.0
+    for name, frac in list(splits.items())[:-1]:
+        cum += frac
+        out.append((name, int(cum * BUCKETS)))
+    return out
+
+
+def mixture_sample(
+    df: DataFrame,
+    *,
+    source_col: str,
+    key_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    salt: str = "mix:",
+) -> DataFrame:
+    """Keep each row with per-source probability ``weights[source]``
+    (``default_weight`` for unlisted sources), deterministically by key
+    hash. Down-weighting only (fractions in [0, 1]); up-sampling is a
+    separate explode-by-repeat op. Pure filter, no shuffle."""
+    for s, w in weights.items():
+        if not 0.0 <= w <= 1.0:
+            raise ValueError(f"weight for {s!r} must be in [0,1], got {w}")
+    b = hash_bucket(F.col(key_col), salt)
+    thr = F.lit(int(default_weight * BUCKETS))
+    for src in sorted(weights):
+        thr = F.when(F.col(source_col) == src, int(weights[src] * BUCKETS)).otherwise(thr)
+    return df.filter(b < thr)
+
+
+def chunk_text(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    size: int,
+    stride: int | None = None,
+) -> DataFrame:
+    """Explode each document into fixed-width character windows of
+    ``size`` starting every ``stride`` chars (defaults to ``size`` =
+    non-overlapping). Emits (id, chunk_idx, chunk_len, chunk) — narrow
+    plan, no shuffle; downstream tokenization maps over chunks."""
+    stride = stride or size
+    if size <= 0 or stride <= 0:
+        raise ValueError("size and stride must be positive")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length(text_col), F.lit(1)), F.lit(stride)
+    )
+    exploded = df.select(
+        F.col(id_col), F.col(text_col), F.posexplode(starts).alias("chunk_idx", "_start")
+    )
+    chunk = F.col(text_col).substr(F.col("_start"), F.lit(size))
+    return exploded.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+        chunk.alias("chunk"),
+    )

@@ -1,0 +1,121 @@
+"""hash_split / mixture_sample / chunk_text (pipeline/sampling.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from montecarlopagerank_spark.pipeline.sampling import (
+    chunk_text,
+    hash_split,
+    mixture_sample,
+)
+
+SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, f"src{i % 3}") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+
+
+def test_hash_split_proportions_and_coverage(spark):
+    df = spark.range(10_000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, key_col="doc_id", splits=SPLITS)
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 10_000
+    assert abs(counts["train"] / 10_000 - 0.8) < 0.02
+    assert abs(counts["val"] / 10_000 - 0.1) < 0.01
+    assert abs(counts["test"] / 10_000 - 0.1) < 0.01
+
+
+def test_hash_split_deterministic_and_order_free(spark):
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    a = dict(hash_split(df, key_col="doc_id", splits=SPLITS)
+             .select("doc_id", "split").collect())
+    shuffled = df.orderBy(F.xxhash64("doc_id")).repartition(7)
+    b = dict(hash_split(shuffled, key_col="doc_id", splits=SPLITS)
+             .select("doc_id", "split").collect())
+    assert a == b
+
+
+def test_hash_split_validates_fractions(spark):
+    df = spark.range(1).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        hash_split(df, key_col="doc_id", splits={"a": 0.5, "b": 0.4})
+
+
+def test_mixture_sample_extremes_and_default(spark):
+    df = docs_df(spark, [f"t{i}" for i in range(300)])
+    none_kept = mixture_sample(
+        df, source_col="source", key_col="doc_id",
+        weights={"src0": 0.0, "src1": 0.0, "src2": 0.0},
+    )
+    assert none_kept.count() == 0
+    all_kept = mixture_sample(
+        df, source_col="source", key_col="doc_id", weights={"src0": 1.0},
+        default_weight=1.0,
+    )
+    assert all_kept.count() == 300
+    only_src1_dropped = mixture_sample(
+        df, source_col="source", key_col="doc_id", weights={"src1": 0.0},
+        default_weight=1.0,
+    )
+    assert only_src1_dropped.filter(F.col("source") == "src1").count() == 0
+    assert only_src1_dropped.count() == 200
+
+
+def test_mixture_sample_monotone_in_weight(spark):
+    # same salt ⇒ kept set at weight w1 ⊆ kept set at w2 ≥ w1
+    df = docs_df(spark, [f"t{i}" for i in range(600)])
+    low = {r.doc_id for r in mixture_sample(
+        df, source_col="source", key_col="doc_id",
+        weights={f"src{i}": 0.2 for i in range(3)}).select("doc_id").collect()}
+    high = {r.doc_id for r in mixture_sample(
+        df, source_col="source", key_col="doc_id",
+        weights={f"src{i}": 0.6 for i in range(3)}).select("doc_id").collect()}
+    assert low <= high
+    assert 0 < len(low) < len(high) < 600
+
+
+def test_mixture_sample_validates_weights(spark):
+    df = docs_df(spark, ["x"])
+    with pytest.raises(ValueError):
+        mixture_sample(df, source_col="source", key_col="doc_id",
+                       weights={"src0": 1.5})
+
+
+def test_chunk_text_nonoverlapping_reconstructs(spark):
+    texts = ["abcdefghij", "xyz", "a" * 25]
+    df = docs_df(spark, texts)
+    out = chunk_text(df, id_col="doc_id", text_col="text", size=4).collect()
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_idx)):
+        by_doc.setdefault(r.doc_id, []).append(r.chunk)
+    for i, t in enumerate(texts):
+        assert "".join(by_doc[i]) == t
+        assert len(by_doc[i]) == (len(t) + 3) // 4
+
+
+def test_chunk_text_overlapping_matches_python_slices(spark):
+    t = "the quick brown fox jumps over the lazy dog"
+    df = docs_df(spark, [t])
+    out = chunk_text(df, id_col="doc_id", text_col="text", size=10, stride=6)
+    got = {r.chunk_idx: r.chunk for r in out.collect()}
+    starts = range(0, len(t), 6)
+    assert got == {i: t[s:s + 10] for i, s in enumerate(starts)}
+    assert all(r.chunk_len == len(got[r.chunk_idx]) for r in out.collect())
+
+
+def test_chunk_text_empty_text_single_empty_chunk(spark):
+    df = docs_df(spark, [""])
+    out = chunk_text(df, id_col="doc_id", text_col="text", size=5).collect()
+    assert len(out) == 1 and out[0].chunk == "" and out[0].chunk_len == 0
+
+
+def test_chunk_text_validates_args(spark):
+    df = docs_df(spark, ["x"])
+    with pytest.raises(ValueError):
+        chunk_text(df, id_col="doc_id", text_col="text", size=0)
