@@ -407,6 +407,51 @@ FROM s{rounds} GROUP BY u""")
     return "".join(parts)
 
 
+def _truss_sql(k: int, rounds: int) -> str:
+    """Synchronous k-truss peeling unrolled to ``rounds`` rounds — the
+    relational twin of algos/truss.py (per round: triangles enumerated
+    over the canonical surviving pair set, each crediting its 3 edges;
+    keep edges with support ≥ k-2). Peeling past the fixpoint is the
+    identity, so ``rounds`` unrolled rounds reproduce any engine run
+    that converged at depth ≤ rounds (sf0.01 peels in 2 rounds at k=3;
+    rounds=8 leaves margin, and tests/test_truss.py pins depth ≤ 8)."""
+    mat = (
+        ("WITH " + SQL_TEDGES[1:])
+        .replace("turns AS (", "turns AS MATERIALIZED (")
+        .replace("chained AS (", "chained AS MATERIALIZED (")
+        .replace("tedges AS (", "tedges AS MATERIALIZED (")
+    )
+    parts = [
+        mat,
+        """,
+s0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS x, GREATEST(src, dst) AS y
+  FROM tedges WHERE src <> dst
+)""",
+    ]
+    for r in range(rounds):
+        parts.append(f""",
+tri{r} AS MATERIALIZED (
+  SELECT a.x AS v1, a.y AS v2, b.y AS v3
+  FROM s{r} a JOIN s{r} b ON a.y = b.x
+  JOIN s{r} c ON a.x = c.x AND b.y = c.y
+),
+sup{r} AS MATERIALIZED (
+  SELECT x, y, COUNT(*) AS sup FROM (
+    SELECT v1 AS x, v2 AS y FROM tri{r}
+    UNION ALL SELECT v2, v3 FROM tri{r}
+    UNION ALL SELECT v1, v3 FROM tri{r}
+  ) GROUP BY x, y
+),
+s{r + 1} AS MATERIALIZED (
+  SELECT s.x, s.y FROM s{r} s
+  JOIN sup{r} p ON s.x = p.x AND s.y = p.y AND p.sup >= {k - 2}
+)""")
+    parts.append(f"""
+SELECT x, y FROM s{rounds}""")
+    return "".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # Spark-side helpers
 # ---------------------------------------------------------------------------
@@ -1054,6 +1099,17 @@ def q_range_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_k_truss_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss of the string-keyed transcript graph: edges in ≥ 1
+    triangle after synchronous support peeling (algos/truss.py) —
+    hash-checked against the unrolled peeling twin _truss_sql(3, 8)."""
+    from montecarlopagerank_spark.algos.truss import k_truss
+
+    truss, info = k_truss(spark, _string_edges(spark, sf_dir), k=3)
+    assert info["converged"], f"truss did not converge: {info}"
+    return truss
+
+
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
@@ -1155,6 +1211,7 @@ QUERIES = {
     "hash_split_counts": q_hash_split_counts,
     "mixture_sample_counts": q_mixture_sample_counts,
     "chunk_documents": q_chunk_documents,
+    "k_truss_3": q_k_truss_3,
 }
 
 
@@ -1233,6 +1290,7 @@ FROM sym JOIN deg du ON sym.u = du.u JOIN deg dw ON sym.w = dw.u
     "harmonic_centrality_tools": _harmonic_sql(6),
     "connected_components_sizes": _cc_sql(24),
     "k_core_2": _kcore_sql(2, 28),
+    "k_truss_3": _truss_sql(3, 8),
     "label_propagation_fixed2": _lpa_sql(2),
     "label_propagation_sizes": _lpa_sql(10),
     "triangle_count": f"""
