@@ -111,6 +111,13 @@ def main() -> None:
         core.groupBy("deg").count().orderBy(F.desc("count")).limit(5).collect()
     extra["kcore_rounds"] = kinfo["rounds"]
 
+    with timed("k_truss_3"):
+        from montecarlopagerank_spark.algos.truss import k_truss
+
+        truss, tinfo = k_truss(spark, edges, k=3)
+        truss.count()
+    extra["truss_rounds"] = tinfo["rounds"]
+
     with timed("bfs_hops_6"):
         srcs = vertices.filter(F.col("kind") == "tool").select(
             F.col("vid").alias("v")
@@ -144,6 +151,61 @@ def main() -> None:
 
     with timed("ann_lsh_topk"):
         cosine_topk_lsh(emb, emb.filter("vec_id < 16"), k=10).count()
+
+    # temporal event analytics over the raw events table
+    from montecarlopagerank_spark.pipeline.temporal import (
+        _us,
+        asof_join,
+        range_join_count,
+        session_stats,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").persist()
+    ev.count()
+    with timed("sessionize"):
+        session_stats(ev, gap_us=14_400_000_000).count()
+    with timed("asof_join"):
+        evu = ev.withColumn("us", _us("ts"))
+        purchases = evu.filter(F.col("event_type") == "purchase").select(
+            "user_id", "us", "event_id"
+        )
+        signups = (
+            evu.filter(F.col("event_type") == "signup")
+            .groupBy("user_id", "us")
+            .agg(F.max("event_id").alias("signup_event_id"))
+            .withColumn("signup_us", F.col("us"))
+        )
+        asof_join(
+            purchases, signups, on="user_id", ts="us",
+            right_cols=["signup_event_id", "signup_us"],
+        ).count()
+    with timed("range_join"):
+        errors = evu.filter(F.col("event_type") == "error")
+        range_join_count(
+            errors, evu, on="user_id", ts="us", window_us=7_200_000_000,
+            left_id="event_id", right_id="event_id",
+        ).count()
+    ev.unpersist()
+
+    # training-data prep: deterministic split + mixture + chunking
+    from montecarlopagerank_spark.contract import MIX_WEIGHTS
+    from montecarlopagerank_spark.pipeline.sampling import (
+        chunk_text,
+        hash_split,
+        mixture_sample,
+    )
+
+    with timed("sampling_ops"):
+        hash_split(
+            docs, key_col="doc_id",
+            splits={"train": 0.8, "val": 0.1, "test": 0.1},
+        ).groupBy("split").count().collect()
+        mixture_sample(
+            docs, source_col="source", key_col="doc_id", weights=MIX_WEIGHTS
+        ).count()
+        chunk_text(
+            docs, id_col="doc_id", text_col="text", size=200, stride=160
+        ).agg(F.sum("chunk_len")).collect()
 
     total = round(sum(queries.values()), 3)
     print(
