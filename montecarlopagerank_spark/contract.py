@@ -1166,6 +1166,91 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase over events: per-step user
+    counts under greedy earliest in-order matching (pipeline/funnel.py,
+    ONE shuffle via per-user ts arrays) — hash-checked against the
+    chained-min SQL formulation."""
+    from montecarlopagerank_spark.pipeline.funnel import funnel_counts
+
+    return funnel_counts(_events(spark, sf_dir), ["view", "click", "purchase"])
+
+
+def q_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: cohort = week of first event, a user
+    is retained at offset k if active in cohort+k. Co-partitioned
+    anchor join + distinct; all keys bounded."""
+    from montecarlopagerank_spark.pipeline.funnel import retention_cohorts
+
+    return retention_cohorts(
+        _events(spark, sf_dir), period_us=604_800_000_000
+    ).withColumnRenamed("offset", "period_offset")
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts of event types per user
+    (lead over the sessionize window; tiny |types|² agg key space)."""
+    from montecarlopagerank_spark.pipeline.funnel import event_transition_matrix
+
+    return event_transition_matrix(_events(spark, sf_dir))
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by smoothed TF-IDF
+    (pipeline/tfidf.py: one tf shuffle, broadcast df table, per-doc
+    window top-k with rounded-score/term-asc deterministic ordering)."""
+    from montecarlopagerank_spark.pipeline.tfidf import tf_idf_top_terms
+
+    return tf_idf_top_terms(_documents(spark, sf_dir), k=5)
+
+
+def q_bm25_search_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for the query 'spark join merge' (k1=1.2, b=0.75):
+    scoring touches only query-term rows of the tf table; global top-k
+    is an ordered limit, ties by doc_id. Rounded to 6 inside the
+    ordering so both engines rank identically."""
+    from montecarlopagerank_spark.pipeline.tfidf import bm25_search
+
+    return bm25_search(_documents(spark, sf_dir), "spark join merge", k=20)
+
+
+def q_tool_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection conversation↔tool → weighted tool–tool
+    co-usage pairs (operators/projection.py; dedup + self-join on
+    conv_id, mega-conversation cap logged not silent)."""
+    from montecarlopagerank_spark.operators.projection import cooccurrence_pairs
+
+    t = transcripts_from_events(spark, sf_dir)
+    return cooccurrence_pairs(
+        t.select("conv_id", "tool"), group_col="conv_id", item_col="tool"
+    ).select(
+        F.col("item_a").alias("tool_a"),
+        F.col("item_b").alias("tool_b"),
+        "n_groups",
+    )
+
+
+def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge reciprocity of the directed simple graph (share of distinct
+    non-loop edges whose reverse also exists) — one self-join on the
+    deduped edge list, pure aggregates, rounded to 6."""
+    e = _string_edges(spark, sf_dir)
+    d = (
+        e.filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    )
+    rev = d.select(F.col("dst").alias("src"), F.col("src").alias("dst")).withColumn(
+        "_has_rev", F.lit(1)
+    )
+    return (
+        d.join(rev, ["src", "dst"], "left")
+        .agg(
+            F.round(
+                F.avg(F.when(F.col("_has_rev").isNotNull(), 1.0).otherwise(0.0)), 6
+            ).alias("reciprocity_r6")
+        )
+    )
+
+
 QUERIES = {
     "transcripts_view": q_transcripts_view,
     "edge_counts_by_kind": q_edge_counts_by_kind,
@@ -1212,6 +1297,13 @@ QUERIES = {
     "mixture_sample_counts": q_mixture_sample_counts,
     "chunk_documents": q_chunk_documents,
     "k_truss_3": q_k_truss_3,
+    "funnel_view_click_purchase": q_funnel_view_click_purchase,
+    "retention_weekly": q_retention_weekly,
+    "event_transitions": q_event_transitions,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "bm25_search_top20": q_bm25_search_top20,
+    "tool_cooccurrence": q_tool_cooccurrence,
+    "reciprocity": q_reciprocity,
 }
 
 
@@ -1573,5 +1665,113 @@ SELECT doc_id, CAST((strt - 1) // 160 AS BIGINT) AS chunk_idx,
        CAST(length(substr(text, strt, 200)) AS BIGINT) AS chunk_len,
        md5(substr(text, strt, 200)) AS chunk_md5
 FROM s
+""",
+    # greedy in-order funnel: t1 = min step-1 ts, t_i = min step-i ts >= t_{i-1}
+    "funnel_view_click_purchase": """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+t1 AS (SELECT user_id, MIN(us) AS u1 FROM e WHERE event_type = 'view'
+       GROUP BY user_id),
+t2 AS (SELECT e.user_id, MIN(us) AS u2 FROM e JOIN t1 USING(user_id)
+       WHERE event_type = 'click' AND us >= u1 GROUP BY e.user_id),
+t3 AS (SELECT e.user_id, MIN(us) AS u3 FROM e JOIN t2 USING(user_id)
+       WHERE event_type = 'purchase' AND us >= u2 GROUP BY e.user_id)
+SELECT 1 AS step_idx, 'view' AS step, (SELECT COUNT(*) FROM t1) AS n_users
+UNION ALL
+SELECT 2, 'click', (SELECT COUNT(*) FROM t2)
+UNION ALL
+SELECT 3, 'purchase', (SELECT COUNT(*) FROM t3)
+""",
+    "retention_weekly": """
+WITH pu AS (
+  SELECT user_id AS u, epoch_us(ts) // 604800000000 AS p FROM events
+),
+f AS (SELECT u, MIN(p) AS cohort_period FROM pu GROUP BY u)
+SELECT f.cohort_period, pu.p - f.cohort_period AS period_offset,
+       COUNT(DISTINCT pu.u) AS n_users
+FROM pu JOIN f ON pu.u = f.u
+GROUP BY 1, 2
+""",
+    "event_transitions": """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+nx AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+           AS to_type
+  FROM e
+)
+SELECT from_type, to_type, COUNT(*) AS n
+FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2
+""",
+    "tfidf_top_terms": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> ''
+       GROUP BY doc_id, term),
+dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * (LN((1.0 + n.n) / (1.0 + dfs.df)) + 1.0), 6)
+           AS tfidf_r6
+  FROM tf JOIN dfs USING(term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf_r6 DESC, term ASC)
+              AS INTEGER) AS rank,
+         term, tfidf_r6
+  FROM scored
+)
+SELECT doc_id, rank, term, tfidf_r6 FROM ranked WHERE rank <= 5
+""",
+    # query terms sorted-distinct: ['join','merge','spark']; k1=1.2 b=0.75
+    "bm25_search_top20": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> ''
+       GROUP BY doc_id, term),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n FROM documents),
+ad AS (SELECT AVG(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, COUNT(*) AS df FROM tf
+        WHERE term IN ('join', 'merge', 'spark') GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           LN(1.0 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / ad.avgdl))
+         ), 6) AS score_r6
+  FROM tf JOIN dfs USING(term) JOIN dl USING(doc_id)
+       CROSS JOIN stats CROSS JOIN ad
+  GROUP BY tf.doc_id
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_r6 DESC, doc_id ASC)
+            AS INTEGER) AS rank,
+       doc_id, score_r6
+FROM scored ORDER BY score_r6 DESC, doc_id ASC LIMIT 20
+""",
+    "tool_cooccurrence": f"""
+WITH {SQL_TURNS[1:]},
+gi AS (SELECT DISTINCT conv_id, tool FROM turns WHERE tool IS NOT NULL)
+SELECT a.tool AS tool_a, b.tool AS tool_b, COUNT(*) AS n_groups
+FROM gi a JOIN gi b ON a.conv_id = b.conv_id AND a.tool < b.tool
+GROUP BY 1, 2
+""",
+    "reciprocity": f"""
+WITH {SQL_TEDGES[1:]},
+d AS (SELECT DISTINCT src, dst FROM tedges WHERE src <> dst)
+SELECT ROUND(AVG(CASE WHEN r.src IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
+         AS reciprocity_r6
+FROM d LEFT JOIN d r ON d.src = r.dst AND d.dst = r.src
 """,
 }
