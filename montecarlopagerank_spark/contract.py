@@ -452,6 +452,78 @@ SELECT x, y FROM s{rounds}""")
     return "".join(parts)
 
 
+def _katz_sql(iters: int, alpha: float) -> str:
+    """Katz iteration twin: x₀ = 1, x ← 1 + α·Aᵀx over the multigraph,
+    unrolled ``iters`` supersteps, L1-normalized ×n at the end (see
+    algos/katz.py on why normalized output is the scale-safe form)."""
+    parts = [
+        "WITH " + SQL_TEDGES[1:],
+        """,
+verts AS (SELECT src AS v FROM tedges UNION SELECT dst FROM tedges),
+k0 AS (SELECT v, 1.0 AS s FROM verts)""",
+    ]
+    for i in range(iters):
+        parts.append(f""",
+a{i} AS (
+  SELECT e.dst AS v, SUM(k.s) AS m
+  FROM tedges e JOIN k{i} k ON e.src = k.v GROUP BY e.dst
+),
+k{i + 1} AS MATERIALIZED (
+  SELECT verts.v, 1.0 + {alpha} * COALESCE(m, 0) AS s
+  FROM verts LEFT JOIN a{i} ON verts.v = a{i}.v
+)""")
+    parts.append(f"""
+SELECT v, ROUND(s * (SELECT COUNT(*) FROM verts) / (SELECT SUM(s) FROM k{iters}),
+                6) AS katz_n6
+FROM k{iters}""")
+    return "".join(parts)
+
+
+def _mis_sql(rounds: int) -> str:
+    """Deterministic-Luby MIS twin (algos/mis.py): fixed md5 priorities,
+    unrolled ``rounds`` rounds over the shrinking live vertex + pair
+    sets. Past the fixpoint every round is the identity (empty live set
+    wins nothing), so ``rounds`` ≥ the engine's convergence depth
+    reproduces the exact membership; leftover live{{R}} vertices (none,
+    once converged) are unioned in to mirror the engine's edge-free
+    final sweep."""
+    parts = [
+        ("WITH " + SQL_TEDGES[1:]).replace("tedges AS (", "tedges AS MATERIALIZED ("),
+        """,
+s0 AS MATERIALIZED (
+  SELECT DISTINCT u, w FROM (
+    SELECT src AS u, dst AS w FROM tedges WHERE src <> dst
+    UNION ALL SELECT dst, src FROM tedges WHERE src <> dst)
+),
+live0 AS MATERIALIZED (SELECT src AS v FROM tedges UNION SELECT dst FROM tedges)""",
+    ]
+    for r in range(rounds):
+        parts.append(f""",
+nm{r} AS (SELECT u, MIN(md5(w)) AS mn FROM s{r} GROUP BY u),
+win{r} AS MATERIALIZED (
+  SELECT l.v FROM live{r} l LEFT JOIN nm{r} ON l.v = nm{r}.u
+  WHERE mn IS NULL OR md5(l.v) < mn
+),
+live{r + 1} AS MATERIALIZED (
+  SELECT v FROM live{r}
+  WHERE v NOT IN (SELECT v FROM win{r})
+    AND v NOT IN (SELECT DISTINCT s.w FROM s{r} s JOIN win{r} x ON s.u = x.v)
+),
+s{r + 1} AS MATERIALIZED (
+  SELECT s.u, s.w FROM s{r} s
+  JOIN live{r + 1} a ON s.u = a.v JOIN live{r + 1} b ON s.w = b.v
+)""")
+    parts.append(
+        "\nSELECT v FROM ("
+        + " UNION ALL ".join(
+            [f"SELECT v FROM win{r}" for r in range(rounds)]
+            + [f"SELECT v FROM live{rounds}"]
+        )
+        + ")"
+    )
+    return "".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # Spark-side helpers
 # ---------------------------------------------------------------------------
@@ -1251,6 +1323,83 @@ def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_katz_fixed6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality, 6 exact supersteps at α=0.05, L1-normalized ×n
+    (algos/katz.py on why the normalized score is the scale-safe form) —
+    hash-checked against the unrolled twin _katz_sql(6, 0.05)."""
+    from montecarlopagerank_spark.algos.katz import katz
+
+    e = _string_edges(spark, sf_dir).select("src", "dst")
+    scores, _ = katz(spark, e, alpha=0.05, iters=6)
+    return scores.select("v", F.round("katz_norm", 6).alias("katz_n6"))
+
+
+def q_mis_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal independent set (deterministic Luby, algos/mis.py) of the
+    undirected simple closure — exact membership hash-checked against
+    the unrolled twin _mis_sql(6) (sf0.01 converges in 3 rounds; 6
+    leaves margin, and unrolling past the fixpoint is the identity)."""
+    from montecarlopagerank_spark.algos.mis import luby_mis
+
+    mis, info = luby_mis(spark, _string_edges(spark, sf_dir).select("src", "dst"))
+    assert info["converged"], f"MIS did not converge: {info}"
+    assert info["rounds"] <= 6, f"MIS depth {info['rounds']} exceeds SQL unroll"
+    return mis.select("v")
+
+
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality flags (pipeline/quality_filters.py): one
+    codegen scan, every rule an array expression — hash-checked against
+    the DuckDB list-function twin."""
+    from montecarlopagerank_spark.pipeline.quality_filters import (
+        gopher_quality_flags,
+    )
+
+    return gopher_quality_flags(_documents(spark, sf_dir))
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition family: duplicate token/bigram fractions
+    (scan-side) + top-bigram coverage (explode + doc_id-keyed mode) —
+    hash-checked against the DuckDB unnest twin."""
+    from montecarlopagerank_spark.pipeline.quality_filters import repetition_stats
+
+    return repetition_stats(_documents(spark, sf_dir))
+
+
+def q_pii_scrub_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over events.props (the only digit-bearing text in the
+    synthetic corpus; min_digits=2 so the digit-run detector fires).
+    Counts + redacted text hash-checked against the stepwise DuckDB
+    regexp twin; real email/ip/phone fixtures live in
+    tests/test_pipeline.py."""
+    from montecarlopagerank_spark.pipeline.pii import pii_scrub
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", F.col("props").alias("text")
+    )
+    return pii_scrub(ev, "text", ("event_id",), min_digits=2)
+
+
+# contamination benchmark split: md5 bucket < 10% of 2^32 (salt 'contam:')
+CONTAM_CUT = int(0.1 * (1 << 32))
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination audit: 10% of documents (deterministic md5
+    bucket) act as the benchmark; every remaining train doc reports its
+    distinct 3-gram count and how many of those occur anywhere in the
+    benchmark (pipeline/contamination.py — one shingle-keyed join)."""
+    from montecarlopagerank_spark.pipeline.contamination import contamination_check
+    from montecarlopagerank_spark.pipeline.sampling import hash_bucket
+
+    docs = _documents(spark, sf_dir)
+    b = hash_bucket(F.col("doc_id"), "contam:")
+    return contamination_check(
+        docs.filter(b >= CONTAM_CUT), docs.filter(b < CONTAM_CUT), n=3
+    )
+
+
 QUERIES = {
     "transcripts_view": q_transcripts_view,
     "edge_counts_by_kind": q_edge_counts_by_kind,
@@ -1304,6 +1453,12 @@ QUERIES = {
     "bm25_search_top20": q_bm25_search_top20,
     "tool_cooccurrence": q_tool_cooccurrence,
     "reciprocity": q_reciprocity,
+    "katz_fixed6": q_katz_fixed6,
+    "mis_vertices": q_mis_vertices,
+    "gopher_quality_flags": q_gopher_quality_flags,
+    "repetition_stats": q_repetition_stats,
+    "pii_scrub_events": q_pii_scrub_events,
+    "contamination_check": q_contamination_check,
 }
 
 
@@ -1773,5 +1928,114 @@ d AS (SELECT DISTINCT src, dst FROM tedges WHERE src <> dst)
 SELECT ROUND(AVG(CASE WHEN r.src IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
          AS reciprocity_r6
 FROM d LEFT JOIN d r ON d.src = r.dst AND d.dst = r.src
+""",
+    "katz_fixed6": _katz_sql(6, 0.05),
+    "mis_vertices": _mis_sql(6),
+    "gopher_quality_flags": f"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk, text
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    len(tk)::DOUBLE AS n,
+    CASE WHEN len(tk)>0
+         THEN list_sum(list_transform(tk, t -> len(t)))::DOUBLE / len(tk)
+         ELSE 0 END AS mean_len,
+    CASE WHEN len(tk)>0
+         THEN len(list_filter(tk, t -> regexp_matches(t, '[a-z]')))::DOUBLE / len(tk)
+         ELSE 0 END AS alpha_frac,
+    CASE WHEN len(tk)>0
+         THEN len(regexp_extract_all(text, '(#|\\.\\.\\.)'))::DOUBLE / len(tk)
+         ELSE 0 END AS symbol_ratio,
+    len(list_filter(tk, t -> list_contains({STOPWORDS_SQL}, t)))::BIGINT AS n_stop
+  FROM base)
+SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+  ROUND(mean_len, 6) AS mean_word_len,
+  ROUND(alpha_frac, 6) AS alpha_word_frac,
+  ROUND(symbol_ratio, 6) AS symbol_ratio,
+  n_stop AS n_stopwords,
+  (n >= 30 AND n <= 100000) AS ok_words,
+  (mean_len >= 3.0 AND mean_len <= 10.0) AS ok_mean_word_len,
+  (symbol_ratio <= 0.1) AS ok_symbol_ratio,
+  (alpha_frac >= 0.8) AS ok_alpha_words,
+  (n_stop >= 2) AS ok_stopwords,
+  (n >= 30 AND n <= 100000) AND (mean_len >= 3.0 AND mean_len <= 10.0)
+    AND (symbol_ratio <= 0.1) AND (alpha_frac >= 0.8) AND (n_stop >= 2)
+    AS passes_gopher
+FROM m
+""",
+    "repetition_stats": """
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+  FROM documents
+), b2 AS (
+  SELECT doc_id, tk, len(tk) AS n,
+    CASE WHEN len(tk) >= 2
+         THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+         ELSE [] END AS bg
+  FROM base
+), gc AS (
+  SELECT doc_id, g, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(bg) AS g FROM b2) GROUP BY doc_id, g
+), topg AS (SELECT doc_id, MAX(c) AS mx FROM gc GROUP BY doc_id)
+SELECT b2.doc_id, CAST(n AS BIGINT) AS n_tokens,
+  ROUND(CASE WHEN n>0 THEN 1.0 - len(list_distinct(tk))::DOUBLE / n
+             ELSE 0 END, 6) AS dup_token_frac,
+  ROUND(CASE WHEN len(bg)>0 THEN 1.0 - len(list_distinct(bg))::DOUBLE / len(bg)
+             ELSE 0 END, 6) AS dup_bigram_frac,
+  ROUND(CASE WHEN len(bg)>0 THEN COALESCE(mx, 0)::DOUBLE / len(bg)
+             ELSE 0 END, 6) AS top_bigram_frac
+FROM b2 LEFT JOIN topg ON b2.doc_id = topg.doc_id
+""",
+    # stepwise masking — each detector counts on the text as left by the
+    # previous mask, mirroring pipeline/pii.py application order
+    "pii_scrub_events": """
+WITH s0 AS (SELECT event_id, props AS t0 FROM events),
+s1 AS (SELECT event_id,
+  len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+  regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM s0),
+s2 AS (SELECT *,
+  len(regexp_extract_all(t1, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))::BIGINT AS n_ipv4,
+  regexp_replace(t1, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g') AS t2
+  FROM s1),
+s3 AS (SELECT *,
+  len(regexp_extract_all(t2, '\\+?[0-9][0-9() -]{6,}[0-9]'))::BIGINT AS n_phone,
+  regexp_replace(t2, '\\+?[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g') AS t3
+  FROM s2),
+s4 AS (SELECT *,
+  len(regexp_extract_all(t3, '[0-9]{2,}'))::BIGINT AS n_digit_run,
+  regexp_replace(t3, '[0-9]{2,}', '<NUM>', 'g') AS t4
+  FROM s3)
+SELECT event_id, n_email, n_ipv4, n_phone, n_digit_run, t4 AS redacted,
+       (n_email + n_ipv4 + n_phone + n_digit_run)::BIGINT AS n_pii
+FROM s4
+""",
+    "contamination_check": f"""
+WITH tagged AS (
+  SELECT doc_id, text,
+    ('0x' || substr(md5('contam:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS b
+  FROM documents
+), sh AS (
+  SELECT doc_id, b,
+    CASE WHEN len(tk) >= 3
+         THEN list_distinct(list_transform(range(1, len(tk)-1),
+                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+         ELSE [] END AS sh
+  FROM (SELECT doc_id, b, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+        FROM tagged)
+), bset AS (
+  SELECT DISTINCT unnest(sh) AS g FROM sh WHERE b < {CONTAM_CUT}
+), t AS (
+  SELECT doc_id, len(sh)::BIGINT AS n_shingles, sh FROM sh WHERE b >= {CONTAM_CUT}
+), hits AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_contaminated
+  FROM (SELECT doc_id, unnest(sh) AS g FROM t) x JOIN bset USING (g)
+  GROUP BY doc_id
+)
+SELECT t.doc_id, n_shingles,
+       COALESCE(n_contaminated, 0)::BIGINT AS n_contaminated,
+       COALESCE(n_contaminated, 0) > 0 AS contaminated
+FROM t LEFT JOIN hits ON t.doc_id = hits.doc_id
 """,
 }
