@@ -207,6 +207,70 @@ def main() -> None:
             docs, id_col="doc_id", text_col="text", size=200, stride=160
         ).agg(F.sum("chunk_len")).collect()
 
+    # centrality beyond PageRank + symmetry breaking
+    from montecarlopagerank_spark.algos.katz import katz as katz_centrality
+    from montecarlopagerank_spark.algos.mis import luby_mis
+
+    with timed("katz_6"):
+        kscores, _ = katz_centrality(spark, edges, vertices, alpha=0.05, iters=6)
+        kscores.orderBy(F.desc("katz_norm"), "v").limit(20).collect()
+
+    with timed("mis"):
+        m, minfo = luby_mis(spark, edges)
+        extra["mis_size"] = m.count()
+    extra["mis_rounds"] = minfo["rounds"]
+
+    # behavioral analytics over the events table
+    from montecarlopagerank_spark.pipeline.funnel import (
+        event_transition_matrix,
+        funnel_counts,
+        retention_cohorts,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").persist()
+    ev.count()
+    with timed("funnel_retention"):
+        funnel_counts(ev, ["view", "click", "purchase"]).collect()
+        retention_cohorts(ev, period_us=604_800_000_000).count()
+        event_transition_matrix(ev).count()
+
+    # text retrieval + training-data hygiene
+    from montecarlopagerank_spark.pipeline.contamination import contamination_check
+    from montecarlopagerank_spark.pipeline.pii import pii_scrub
+    from montecarlopagerank_spark.pipeline.quality_filters import (
+        gopher_quality_flags,
+        repetition_stats,
+    )
+    from montecarlopagerank_spark.pipeline.sampling import hash_bucket
+    from montecarlopagerank_spark.pipeline.tfidf import bm25_search, tf_idf_top_terms
+
+    with timed("tfidf_bm25"):
+        tf_idf_top_terms(docs, k=5).count()
+        bm25_search(docs, "spark join merge", k=20).collect()
+
+    with timed("quality_filters"):
+        gopher_quality_flags(docs).agg(
+            F.sum(F.col("passes_gopher").cast("long"))
+        ).collect()
+        repetition_stats(docs).agg(F.avg("dup_token_frac")).collect()
+
+    with timed("pii_scrub"):
+        pii_scrub(
+            ev.select("event_id", F.col("props").alias("text")),
+            "text",
+            ("event_id",),
+            min_digits=2,
+        ).agg(F.sum("n_pii")).collect()
+    ev.unpersist()
+
+    with timed("contamination"):
+        from montecarlopagerank_spark.contract import CONTAM_CUT
+
+        bkt = hash_bucket(F.col("doc_id"), "contam:")
+        contamination_check(
+            docs.filter(bkt >= CONTAM_CUT), docs.filter(bkt < CONTAM_CUT), n=3
+        ).agg(F.sum("n_contaminated")).collect()
+
     total = round(sum(queries.values()), 3)
     print(
         json.dumps(

@@ -29,14 +29,27 @@ from pyspark.sql import functions as F
 def word_shingles(text: Column, n: int) -> Column:
     """Distinct lower-cased n-word shingles of a whitespace tokenization.
     Empty array (never a descending ``sequence``) for docs shorter than
-    ``n`` words."""
-    tk = F.split(F.lower(F.trim(text)), r"\s+")
-    gram = lambda i: F.concat_ws(
-        " ", *[F.element_at(tk, i + F.lit(j)) for j in range(n)]
-    )
-    return F.when(F.size(tk) < n, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(F.transform(F.sequence(F.lit(1), F.size(tk) - n + 1), gram))
-    )
+    ``n`` words.
+
+    The token array is let-bound via a 1-element ``array``+``transform``
+    wrapper: codegen does NOT common-subexpression-eliminate inside
+    higher-order-function lambdas, so referencing the ``split`` column
+    directly from the per-gram lambda would re-split the whole text for
+    every gram — O(words²) per document (measured 10× slower at sf0.1).
+    The lambda variable is evaluated once per row."""
+
+    def grams(tk: Column) -> Column:
+        return F.when(F.size(tk) < n, F.array().cast("array<string>")).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tk) - n + 1),
+                    lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
+                )
+            )
+        )
+
+    tk0 = F.split(F.lower(F.trim(text)), r"\s+")
+    return F.element_at(F.transform(F.array(tk0), grams), 1)
 
 
 def contamination_check(

@@ -53,18 +53,25 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 # ------------------------------------------------------------- minhash
 def _shingles(text: Column, n: int) -> Column:
-    """Distinct word n-gram shingles of the normalized text."""
-    toks = F.split(normalized_text(text), " ")
-    k = F.size(toks) - (n - 1)
-    return F.array_distinct(
-        F.when(
-            k > 0,
-            F.transform(
-                F.sequence(F.lit(0), k - 1),
-                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-            ),
-        ).otherwise(F.array(F.array_join(toks, " ")))
-    )
+    """Distinct word n-gram shingles of the normalized text. The token
+    array is let-bound through a 1-element array+transform so the split
+    runs once per row, not once per gram (no codegen CSE inside
+    higher-order-function lambdas — see contamination.word_shingles)."""
+
+    def grams(toks: Column) -> Column:
+        k = F.size(toks) - (n - 1)
+        return F.array_distinct(
+            F.when(
+                k > 0,
+                F.transform(
+                    F.sequence(F.lit(0), k - 1),
+                    lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+                ),
+            ).otherwise(F.array(F.array_join(toks, " ")))
+        )
+
+    toks0 = F.split(normalized_text(text), " ")
+    return F.element_at(F.transform(F.array(toks0), grams), 1)
 
 
 def shingle_sets(docs: DataFrame, shingle_n: int = 3) -> DataFrame:

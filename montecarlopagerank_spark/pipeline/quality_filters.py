@@ -95,15 +95,23 @@ def gopher_quality_flags(docs: DataFrame) -> DataFrame:
     )
 
 
-def _bigrams(tk: Column) -> Column:
+def _bigrams(tk0: Column) -> Column:
     """Adjacent token 2-grams; empty (not a descending sequence!) when
-    the document has fewer than 2 tokens."""
-    return F.when(F.size(tk) < 2, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(tk) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(tk, i), F.element_at(tk, i + 1)),
+    the document has fewer than 2 tokens. ``tk0`` is let-bound through a
+    1-element array+transform so the (typically ``split``-derived)
+    expression is evaluated once per row, not once per gram — codegen
+    does no CSE inside higher-order-function lambdas (see
+    contamination.word_shingles)."""
+
+    def grams(tk: Column) -> Column:
+        return F.when(F.size(tk) < 2, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 1),
+                lambda i: F.concat_ws(" ", F.slice(tk, i, 2)),
+            )
         )
-    )
+
+    return F.element_at(F.transform(F.array(tk0), grams), 1)
 
 
 def repetition_stats(docs: DataFrame) -> DataFrame:
