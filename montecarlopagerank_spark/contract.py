@@ -1400,6 +1400,39 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus line dedup (pipeline/linededup.py, C4/CCNet boilerplate
+    removal, keep='first'). The synthetic docs are single-line, so the
+    query first wraps each into 3-word lines (3-word windows DO collide
+    across this small-vocab corpus, giving real dedup signal); output is
+    per-doc line counts + md5 of the reassembled clean text, hash-checked
+    against the windowed SQL twin."""
+    from montecarlopagerank_spark.pipeline.linededup import line_dedup
+
+    tk0 = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    wrap = F.element_at(
+        F.transform(
+            F.array(tk0),
+            lambda tk: F.concat_ws(
+                "\n",
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size(tk) / F.lit(3)).cast("int") - 1,
+                    ),
+                    lambda i: F.concat_ws(" ", F.slice(tk, i * 3 + 1, 3)),
+                ),
+            ),
+        ),
+        1,
+    )
+    d3 = _documents(spark, sf_dir).select("doc_id", wrap.alias("text"))
+    out = line_dedup(d3, min_dup=2, keep="first", min_chars=5)
+    return out.select(
+        "doc_id", "n_lines", "n_kept", F.md5("clean_text").alias("clean_md5")
+    )
+
+
 QUERIES = {
     "transcripts_view": q_transcripts_view,
     "edge_counts_by_kind": q_edge_counts_by_kind,
@@ -1459,6 +1492,7 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "pii_scrub_events": q_pii_scrub_events,
     "contamination_check": q_contamination_check,
+    "line_dedup_docs": q_line_dedup_docs,
 }
 
 
@@ -2037,5 +2071,39 @@ SELECT t.doc_id, n_shingles,
        COALESCE(n_contaminated, 0)::BIGINT AS n_contaminated,
        COALESCE(n_contaminated, 0) > 0 AS contaminated
 FROM t LEFT JOIN hits ON t.doc_id = hits.doc_id
+""",
+    # keep='first': the surviving copy is the (doc_id, line_idx)-min
+    # occurrence — ROW_NUMBER here, min(struct) on the Spark side
+    "line_dedup_docs": """
+WITH tk AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+  FROM documents
+), wrapped AS (
+  SELECT doc_id,
+         list_transform(range(0, CAST(ceil(len(tk)/3.0) AS INT)),
+                        i -> array_to_string(list_slice(tk, i*3+1, i*3+3), ' '))
+           AS ls
+  FROM tk
+), lines AS (
+  SELECT doc_id, unnest(ls) AS line, unnest(range(0, len(ls))) AS line_idx
+  FROM wrapped
+), keyed AS (
+  SELECT doc_id, line_idx, line,
+         CASE WHEN len(trim(line)) >= 5 THEN md5(lower(trim(line))) END AS k
+  FROM lines
+), cnt AS (
+  SELECT k, COUNT(*) AS c FROM keyed WHERE k IS NOT NULL GROUP BY k
+), j AS (
+  SELECT keyed.*, c,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id, line_idx) AS rn
+  FROM keyed LEFT JOIN cnt USING (k)
+), kept AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_kept,
+         string_agg(line, chr(10) ORDER BY line_idx) AS clean_text
+  FROM j WHERE k IS NULL OR c < 2 OR rn = 1 GROUP BY doc_id
+), totals AS (SELECT doc_id, len(ls)::BIGINT AS n_lines FROM wrapped)
+SELECT t.doc_id, n_lines, COALESCE(n_kept, 0)::BIGINT AS n_kept,
+       md5(COALESCE(clean_text, '')) AS clean_md5
+FROM totals t LEFT JOIN kept USING (doc_id)
 """,
 }
