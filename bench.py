@@ -263,6 +263,14 @@ def main() -> None:
         ).agg(F.sum("n_pii")).collect()
     ev.unpersist()
 
+    with timed("kmeans_ivf"):
+        from montecarlopagerank_spark.pipeline.clustering import ivf_topk
+
+        ivf_topk(
+            spark, emb, emb.filter("vec_id < 16"),
+            k=10, nprobe=2, n_clusters=10, iters=3,
+        ).count()
+
     with timed("contamination"):
         from montecarlopagerank_spark.contract import CONTAM_CUT
 

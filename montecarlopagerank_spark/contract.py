@@ -524,6 +524,131 @@ s{r + 1} AS MATERIALIZED (
     return "".join(parts)
 
 
+def _kmeans_sql_ctes(k: int, iters: int, dim: int) -> str:
+    """Shared CTE chain for the k-means / IVF twins: deterministic
+    farthest-point (maxmin) seeding unrolled seed-by-seed, then
+    ``iters`` unrolled Lloyd iterations (pipeline/clustering.py).
+    ``list_reduce`` is DuckDB's exact left fold — bit-identical to
+    Spark's ``F.aggregate`` with 0.0 init; argmin on (ROUND(d²,6), cid)
+    shields the engine-specific fp order of the centroid means."""
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"j -> ({a}[j]-{b}[j])*({a}[j]-{b}[j])), (p, q) -> p + q)"
+        )
+
+    parts = [
+        """
+e AS (
+  SELECT vec_id AS vid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+s0 AS MATERIALIZED (
+  SELECT vec AS v0 FROM e ORDER BY md5(CAST(vid AS VARCHAR)) LIMIT 1
+)"""
+    ]
+    for i in range(1, k):
+        froms = ", ".join(["e"] + [f"s{j}" for j in range(i)])
+        mind = ", ".join(d2("e.vec", f"s{j}.v{j}") for j in range(i))
+        if i > 1:
+            mind = f"LEAST({mind})"
+        parts.append(f""",
+s{i} AS MATERIALIZED (
+  SELECT e.vec AS v{i} FROM {froms}
+  ORDER BY ROUND({mind}, 6) DESC, e.vid LIMIT 1
+)""")
+    cents = "\n  UNION ALL ".join(
+        f"SELECT {i} AS cid, v{i} AS cvec FROM s{i}" for i in range(k)
+    )
+    parts.append(f""",
+c0 AS (
+  {cents}
+)""")
+    for i in range(iters):
+        parts.append(f""",
+a{i} AS (
+  SELECT vid, vec, cid FROM (
+    SELECT vid, vec, cid,
+           ROW_NUMBER() OVER (PARTITION BY vid
+                              ORDER BY ROUND({d2('vec', 'cvec')}, 6), cid) AS rn
+    FROM e CROSS JOIN c{i})
+  WHERE rn = 1
+),
+m{i} AS (
+  SELECT cid, list(mx ORDER BY pos) AS cvec FROM (
+    SELECT cid, pos, AVG(x) AS mx FROM (
+      SELECT cid, unnest(vec) AS x, unnest(range(0, {dim})) AS pos FROM a{i})
+    GROUP BY cid, pos)
+  GROUP BY cid
+),
+c{i + 1} AS MATERIALIZED (
+  SELECT c.cid, COALESCE(m.cvec, c.cvec) AS cvec
+  FROM c{i} c LEFT JOIN m{i} m USING (cid)
+)""")
+    parts.append(f""",
+fin AS (
+  SELECT vid, vec, cid, d2r FROM (
+    SELECT vid, vec, cid, ROUND({d2('vec', 'cvec')}, 6) AS d2r,
+           ROW_NUMBER() OVER (PARTITION BY vid
+                              ORDER BY ROUND({d2('vec', 'cvec')}, 6), cid) AS rn
+    FROM e CROSS JOIN c{iters})
+  WHERE rn = 1
+)""")
+    return "".join(parts)
+
+
+def _kmeans_sql(k: int, iters: int, dim: int) -> str:
+    return (
+        "WITH" + _kmeans_sql_ctes(k, iters, dim)
+        + """
+SELECT vid AS vec_id, cid AS cluster, ROUND(d2r, 4) AS d2_r4 FROM fin"""
+    )
+
+
+def _ivf_sql(
+    k: int, iters: int, dim: int, nprobe: int, topk: int, max_qid: int
+) -> str:
+    def fold(expr: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {dim + 1}), j -> {expr}), "
+            "(p, q) -> p + q)"
+        )
+
+    return (
+        "WITH" + _kmeans_sql_ctes(k, iters, dim)
+        + f""",
+corpus AS (
+  SELECT vid AS cand_id, vec AS cvecd, cid,
+         sqrt({fold('vec[j]*vec[j]')}) AS cnorm
+  FROM fin
+),
+qs AS (SELECT vid AS query_id, vec AS qvec FROM e WHERE vid < {max_qid}),
+probes AS (
+  SELECT query_id, qvec, cid FROM (
+    SELECT q.query_id, q.qvec, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY ROUND({fold('(qvec[j]-cvec[j])*(qvec[j]-cvec[j])')}, 6),
+                                       c.cid) AS rn
+    FROM qs q CROSS JOIN c{iters} c)
+  WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT p.query_id, co.cand_id,
+         ROUND({fold('qvec[j]*cvecd[j]')}
+               / (sqrt({fold('qvec[j]*qvec[j]')}) * co.cnorm), 6) AS cos_r6
+  FROM probes p JOIN corpus co USING (cid)
+  WHERE co.cand_id <> p.query_id
+)
+SELECT query_id, rank, match_id, cos_r6 FROM (
+  SELECT query_id, cand_id AS match_id, cos_r6,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_r6 DESC, cand_id) AS rank
+  FROM cand)
+WHERE rank <= {topk}"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # Spark-side helpers
 # ---------------------------------------------------------------------------
@@ -1400,6 +1525,43 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means (pipeline/clustering.py): k=10 hash-
+    seeded centroids, 3 exact iterations, final assignment against the
+    post-update centroids — hash-checked against the iteration-unrolled
+    DuckDB twin (argmin on ROUND(d²,6) with cid tiebreak gives both
+    engines the same total order despite engine-specific mean fp
+    order)."""
+    from montecarlopagerank_spark.pipeline.clustering import kmeans
+
+    a, _, _ = kmeans(spark, _embeddings(spark, sf_dir), k=10, iters=3)
+    return a.select(
+        F.col("vid").alias("vec_id"),
+        F.col("cid").alias("cluster"),
+        F.round("d2r", 4).alias("d2_r4"),
+    )
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (pipeline/clustering.py): 10-cell coarse quantizer,
+    nprobe=2, cosine top-10 for queries vec_id<16 — the scale-path ANN
+    (broadcast-hash cell join, never an all-pairs crossJoin). Exact-
+    match hash oracle: cosine is a bit-exact left fold on both engines,
+    so given the shielded cell assignment the twin reproduces ranks
+    exactly."""
+    from montecarlopagerank_spark.pipeline.clustering import ivf_topk
+
+    emb = _embeddings(spark, sf_dir)
+    return ivf_topk(
+        spark, emb, emb.filter(F.col("vec_id") < 16),
+        k=10, nprobe=2, n_clusters=10, iters=3,
+    )
+
+
 def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus line dedup (pipeline/linededup.py, C4/CCNet boilerplate
     removal, keep='first'). The synthetic docs are single-line, so the
@@ -1493,6 +1655,8 @@ QUERIES = {
     "pii_scrub_events": q_pii_scrub_events,
     "contamination_check": q_contamination_check,
     "line_dedup_docs": q_line_dedup_docs,
+    "kmeans_embeddings": q_kmeans_embeddings,
+    "ivf_topk": q_ivf_topk,
 }
 
 
@@ -2106,4 +2270,6 @@ SELECT t.doc_id, n_lines, COALESCE(n_kept, 0)::BIGINT AS n_kept,
        md5(COALESCE(clean_text, '')) AS clean_md5
 FROM totals t LEFT JOIN kept USING (doc_id)
 """,
+    "kmeans_embeddings": _kmeans_sql(10, 3, 64),
+    "ivf_topk": _ivf_sql(10, 3, 64, nprobe=2, topk=10, max_qid=16),
 }
