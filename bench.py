@@ -125,6 +125,31 @@ def main() -> None:
         dist, _ = bfs_hops(spark, edges, srcs, max_hops=6)
         dist.groupBy("hops").count().collect()
 
+    with timed("sssp_weighted"):
+        from montecarlopagerank_spark.algos.sssp import sssp
+
+        we = edges.select(
+            "src", "dst", ((F.col("src") % 9) + 1).cast("long").alias("wt")
+        )
+        sdist, sinfo = sssp(spark, we, srcs, weight_col="wt", max_rounds=32)
+        sdist.agg(F.max("d")).collect()
+    extra["sssp_rounds"] = sinfo["rounds"]
+
+    with timed("hyperanf"):
+        from montecarlopagerank_spark.algos.hyperanf import neighborhood_function
+
+        _, anfinfo = neighborhood_function(spark, edges, max_h=24)
+    extra["effective_diameter_90"] = anfinfo["effective_diameter_90"]
+
+    with timed("random_walks_l8"):
+        from montecarlopagerank_spark.algos.walks import random_walks
+
+        wsrcs = vertices.select(F.col("vid").alias("v"))
+        _, winfo = random_walks(
+            spark, edges, wsrcs, walk_length=8, walks_per_vertex=1
+        )
+    extra["walk_rows"] = winfo["rows"]
+
     # incremental edge maintenance: stage the transcripts as a parquet
     # "log" outside the timer, then time the stateful availableNow drain
     import tempfile
@@ -151,6 +176,12 @@ def main() -> None:
 
     with timed("ann_lsh_topk"):
         cosine_topk_lsh(emb, emb.filter("vec_id < 16"), k=10).count()
+
+    with timed("pca_whiten"):
+        from montecarlopagerank_spark.pipeline.embeddings import pca_project
+
+        out, _ = pca_project(spark, emb, k=8, whiten=True)
+        out.agg(F.sum(F.element_at("pc", 1))).collect()
 
     # temporal event analytics over the raw events table
     from montecarlopagerank_spark.pipeline.temporal import (

@@ -228,6 +228,89 @@ SELECT v, CAST(hops AS INTEGER) AS hops FROM d{max_hops}""")
     return "".join(parts)
 
 
+def _sssp_sql(rounds: int) -> str:
+    """Weighted min-path distance from the tool vertices, unrolled as
+    ``rounds`` full Bellman-Ford relaxation rounds. Edge weight is
+    LENGTH(src)+LENGTH(dst) — deterministic and computed identically by
+    Spark and DuckDB, and long/heavy turn keys make weighted routes
+    genuinely diverge from min-hop routes. Frontier-restricted relaxation
+    (algos/sssp.py) and full relaxation agree after any equal number of
+    rounds, and past the fixpoint every round is the identity, so any
+    unroll ≥ the engine's round count reproduces the table exactly.
+    Each d{{i}} is referenced twice by d{{i+1}} → MATERIALIZED (same
+    expression-tree-blowup reasoning as _cc_sql)."""
+    parts = [
+        "WITH " + SQL_TEDGES[1:],
+        """,
+verts AS (SELECT src AS v FROM tedges UNION SELECT dst FROM tedges),
+wsym AS MATERIALIZED (
+  SELECT u, x, MIN(wt) AS wt FROM (
+    SELECT src AS u, dst AS x, LENGTH(src) + LENGTH(dst) AS wt
+    FROM tedges WHERE src <> dst
+    UNION ALL
+    SELECT dst, src, LENGTH(src) + LENGTH(dst)
+    FROM tedges WHERE src <> dst
+  ) GROUP BY u, x
+),
+d0 AS (SELECT v, CAST(0 AS BIGINT) AS d FROM verts WHERE v LIKE 'tool#%')""",
+    ]
+    for i in range(rounds):
+        parts.append(f""",
+d{i + 1} AS MATERIALIZED (
+  SELECT v, MIN(d) AS d FROM (
+    SELECT v, d FROM d{i}
+    UNION ALL
+    SELECT s.x AS v, d.d + s.wt AS d FROM wsym s JOIN d{i} d ON s.u = d.v
+  ) GROUP BY v
+)""")
+    parts.append(f"""
+SELECT v, CAST(d AS BIGINT) AS d FROM d{rounds}""")
+    return "".join(parts)
+
+
+def _walks_sql(walk_length: int, walks_per_vertex: int) -> str:
+    """DeepWalk corpus twin: uniform walks from the tool vertices with
+    algos/walks.py's ``chooser="lcg"`` — the neighbor index is plain
+    64-bit integer arithmetic ((rep+1)*40503 + step*69069) % 1000003
+    % deg over the SAME sorted multiset neighbor list (list(x ORDER BY
+    x) ≡ sort_array(collect_list(x)), dupes included), so DuckDB
+    replays the corpus verbatim. Each w{i} is referenced twice (next
+    step + final union) → MATERIALIZED."""
+    parts = [
+        "WITH " + SQL_TEDGES[1:],
+        """,
+sym AS MATERIALIZED (
+  SELECT src AS u, dst AS x FROM tedges WHERE src <> dst
+  UNION ALL
+  SELECT dst, src FROM tedges WHERE src <> dst
+),
+nbrs AS MATERIALIZED (
+  SELECT u, list(x ORDER BY x) AS arr, COUNT(*) AS deg FROM sym GROUP BY u
+),
+tools AS (SELECT DISTINCT dst AS v FROM tedges WHERE dst LIKE 'tool#%'),
+w0 AS MATERIALIZED (
+  SELECT t.v AS start, r.rep AS rep, t.v AS v
+  FROM tools t CROSS JOIN (SELECT range AS rep FROM range("""
+        + str(walks_per_vertex)
+        + """)) r
+)""",
+    ]
+    for i in range(1, walk_length + 1):
+        parts.append(f""",
+w{i} AS MATERIALIZED (
+  SELECT w.start, w.rep,
+         n.arr[CAST(1 + ((((w.rep + 1) * 40503 + {i} * 69069) % 1000003)
+                         % n.deg) AS INT)] AS v
+  FROM w{i - 1} w JOIN nbrs n ON w.v = n.u
+)""")
+    selects = [
+        f"SELECT start, rep, CAST({i} AS INT) AS step, v FROM w{i}"
+        for i in range(walk_length + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(selects))
+    return "".join(parts)
+
+
 def _cc_sql(rounds: int = 12) -> str:
     """Exact connected components in pure SQL: per round, every vertex's
     label drops to min(own, neighbours') then pointer-jumps (lbl ← lbl of
@@ -1107,6 +1190,62 @@ def q_bfs_hops_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select("v", F.col("hops").cast("int").alias("hops"))
 
 
+def q_sssp_from_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest-path distance (Bellman-Ford to the exact
+    fixpoint) from the tool vertices, edge weight = len(src)+len(dst) —
+    hash-checked against _sssp_sql(24)'s unrolled full-relaxation twin
+    (24 ≥ the engine's observed round count at sf0.01; past the fixpoint
+    extra oracle rounds are the identity)."""
+    from montecarlopagerank_spark.algos.sssp import sssp
+
+    e = _string_edges(spark, sf_dir).select(
+        "src",
+        "dst",
+        (F.length("src") + F.length("dst")).cast("long").alias("wt"),
+    )
+    srcs = e.filter(F.col("dst").startswith("tool#")).select(
+        F.col("dst").alias("v")
+    )
+    dist, _ = sssp(spark, e, srcs, weight_col="wt", max_rounds=24, directed=False)
+    return dist.select("v", F.col("d").cast("long").alias("d"))
+
+
+def q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperANF neighborhood function N(h) over the undirected transcript
+    graph (rows-only: HLL estimates are approximate by design — the
+    pytest oracle pins exactness on tiny graphs and a ≤5% error band vs
+    the exact BFS closure on the power-law fixture;
+    tests/test_hyperanf.py)."""
+    from montecarlopagerank_spark.algos.hyperanf import neighborhood_function
+
+    e = _string_edges(spark, sf_dir).select("src", "dst")
+    nf, _ = neighborhood_function(spark, e, max_h=24)
+    return nf.select(F.col("h").cast("int").alias("h"), "npairs")
+
+
+def q_random_walks_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk training corpus: 2 deterministic uniform walks of length
+    6 from every tool vertex, LCG chooser — the whole corpus (every
+    (start, rep, step, v) row) is hash-checked against _walks_sql's
+    step-unrolled DuckDB replay. The production chooser ("xxhash",
+    default) is pinned by pytest determinism/uniformity tests instead."""
+    from montecarlopagerank_spark.algos.walks import random_walks
+
+    e = _string_edges(spark, sf_dir).select("src", "dst")
+    srcs = e.filter(F.col("dst").startswith("tool#")).select(
+        F.col("dst").alias("v")
+    )
+    walks, _ = random_walks(
+        spark, e, srcs, walk_length=6, walks_per_vertex=2, chooser="lcg"
+    )
+    return walks.select(
+        "start",
+        F.col("rep").cast("long").alias("rep"),
+        F.col("step").cast("int").alias("step"),
+        "v",
+    )
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from montecarlopagerank_spark.pipeline.textstats import token_stats
 
@@ -1192,6 +1331,31 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cosine_topk_bruteforce(emb, emb.filter("vec_id < 5"), k=10)
     return out.select(
         "query_id", "neighbour_id", "cos_sim", F.col("rn").cast("long").alias("rn")
+    )
+
+
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance of the embedding corpus — hash-checked
+    against a DuckDB lateral-unnest twin."""
+    from montecarlopagerank_spark.pipeline.embeddings import dim_stats
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return dim_stats(emb).select(
+        F.col("dim").cast("int").alias("dim"), "mean_r6", "var_r6"
+    )
+
+
+def q_pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=8 PCA projection of the embedding corpus (rows-only: DuckDB has
+    no eigensolver — tests/test_embeddings.py pins the values against
+    numpy's full PCA, whitened covariance ≈ I, and sign determinism)."""
+    from montecarlopagerank_spark.pipeline.embeddings import pca_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out, _ = pca_project(spark, emb, k=8)
+    return out.select(
+        "vec_id",
+        F.transform(F.col("pc"), lambda x: F.round(x, 4)).alias("pc_r4"),
     )
 
 
@@ -1622,6 +1786,9 @@ QUERIES = {
     "pagerank_personalized_fixed": q_pagerank_personalized_fixed,
     "hits_fixed5": q_hits_fixed5,
     "bfs_hops_tools": q_bfs_hops_tools,
+    "sssp_from_tools": q_sssp_from_tools,
+    "random_walks_tools": q_random_walks_tools,
+    "neighborhood_function": q_neighborhood_function,
     "token_stats": q_token_stats,
     "quality_score": q_quality_score,
     "langid_heuristic": q_langid_heuristic,
@@ -1630,6 +1797,8 @@ QUERIES = {
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash_near_dupes": q_simhash_near_dupes,
+    "embedding_dim_stats": q_embedding_dim_stats,
+    "pca_project_embeddings": q_pca_project_embeddings,
     "embedding_topk": q_embedding_topk,
     "embedding_topk_lsh": q_embedding_topk_lsh,
     "embedding_near_dup_exact": q_embedding_near_dup_exact,
@@ -1732,6 +1901,8 @@ FROM sym JOIN deg du ON sym.u = du.u JOIN deg dw ON sym.w = dw.u
     "pagerank_personalized_fixed": _ppr_sql(5),
     "hits_fixed5": _hits_sql(5),
     "bfs_hops_tools": _bfs_sql(6),
+    "sssp_from_tools": _sssp_sql(24),
+    "random_walks_tools": _walks_sql(6, 2),
     "harmonic_centrality_tools": _harmonic_sql(6),
     "connected_components_sizes": _cc_sql(24),
     "k_core_2": _kcore_sql(2, 28),
@@ -1909,6 +2080,17 @@ SELECT a.doc_id AS a, b.doc_id AS b,
        ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
              / len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+""",
+    "embedding_dim_stats": """
+SELECT CAST(t.ord - 1 AS INTEGER) AS dim,
+       ROUND(AVG(t.x), 6) AS mean_r6,
+       ROUND(AVG(t.x * t.x) - AVG(t.x) * AVG(t.x), 6) AS var_r6
+FROM (
+  SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS ord
+  FROM embeddings
+) t
+GROUP BY t.ord
 """,
     "embedding_topk": """
 WITH scored AS (
