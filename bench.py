@@ -138,8 +138,21 @@ def main() -> None:
     with timed("hyperanf"):
         from montecarlopagerank_spark.algos.hyperanf import neighborhood_function
 
-        _, anfinfo = neighborhood_function(spark, edges, max_h=24)
+        # lgk=9 (~3.6% rel err) + 0.1% growth stop: the production
+        # config for a diameter estimate — the exact-fixpoint lgk=12
+        # default is what the correctness tests pin
+        _, anfinfo = neighborhood_function(
+            spark, edges, max_h=24, lgk=9, rel_tol=1e-3
+        )
     extra["effective_diameter_90"] = anfinfo["effective_diameter_90"]
+
+    with timed("betweenness_6"):
+        from montecarlopagerank_spark.algos.betweenness import (
+            landmark_betweenness,
+        )
+
+        bcc, _ = landmark_betweenness(spark, edges, srcs, max_hops=6)
+        bcc.orderBy(F.desc("btw"), "v").limit(20).collect()
 
     with timed("random_walks_l8"):
         from montecarlopagerank_spark.algos.walks import random_walks

@@ -47,6 +47,7 @@ def neighborhood_function(
     max_h: int = 16,
     lgk: int = 12,
     directed: bool = False,
+    rel_tol: float = 0.0,
     n_partitions: int | None = None,
 ) -> tuple[DataFrame, dict[str, Any]]:
     """``edges(src, dst)`` → (``nf(h, npairs)``, info): npairs ≈ number
@@ -108,7 +109,11 @@ def neighborhood_function(
         state, cur = _write(merged, h)
         counts.append((h, cur))
         rounds = h
-        if cur == prev:
+        # rel_tol=0: exact plateau (estimates stopped growing). >0: the
+        # practical HyperANF stop — growth below rel_tol·N(h) no longer
+        # moves the interpolated diameter quantile, and on a long-tail
+        # graph it saves the many near-empty trailing supersteps
+        if cur - prev <= rel_tol * cur:
             break
         prev = cur
     e.unpersist()

@@ -311,6 +311,66 @@ w{i} AS MATERIALIZED (
     return "".join(parts)
 
 
+def _btw_sql(max_hops: int) -> str:
+    """Landmark betweenness twin (algos/betweenness.py): forward σ-BFS
+    from the tool vertices unrolled ``max_hops`` rounds (like _bfs_sql
+    plus the path-count sum), then Brandes dependency accumulation
+    unrolled one CTE per depth band, deepest first. Rounds past the
+    actual eccentricity are identity no-ops, so a fixed unroll equals
+    the engine's early-stopping loop. Everything MATERIALIZED — each
+    stage is referenced 2-3 times downstream."""
+    parts = [
+        "WITH " + SQL_TEDGES[1:],
+        """,
+sym AS MATERIALIZED (
+  SELECT DISTINCT u, x FROM (
+    SELECT src AS u, dst AS x FROM tedges WHERE src <> dst
+    UNION ALL
+    SELECT dst, src FROM tedges WHERE src <> dst
+  )
+),
+vis0 AS MATERIALIZED (
+  SELECT DISTINCT dst AS l, dst AS v, 0 AS d, 1.0 AS sigma
+  FROM tedges WHERE dst LIKE 'tool#%'
+)""",
+    ]
+    for h in range(1, max_hops + 1):
+        parts.append(f""",
+vis{h} AS MATERIALIZED (
+  SELECT * FROM vis{h - 1}
+  UNION ALL
+  SELECT m.l, m.v, {h} AS d, m.sigma FROM (
+    SELECT s.l, e.x AS v, SUM(s.sigma) AS sigma
+    FROM sym e JOIN vis{h - 1} s ON e.u = s.v
+    WHERE s.d = {h - 1}
+    GROUP BY s.l, e.x
+  ) m ANTI JOIN vis{h - 1} p ON m.l = p.l AND m.v = p.v
+)""")
+    parts.append(f""",
+del{max_hops + 1} AS MATERIALIZED (
+  SELECT l, v, d, sigma, 0.0 AS delta FROM vis{max_hops}
+)""")
+    for h in range(max_hops, 0, -1):
+        parts.append(f""",
+c{h} AS MATERIALIZED (
+  SELECT pw.l, pv.v,
+         SUM(pv.sigma / pw.sigma * (1.0 + pw.delta)) AS inc
+  FROM del{h + 1} pw
+  JOIN sym s ON s.x = pw.v
+  JOIN del{h + 1} pv ON pv.l = pw.l AND pv.v = s.u AND pv.d = {h - 1}
+  WHERE pw.d = {h}
+  GROUP BY pw.l, pv.v
+),
+del{h} AS MATERIALIZED (
+  SELECT d.l, d.v, d.d, d.sigma, d.delta + COALESCE(c.inc, 0.0) AS delta
+  FROM del{h + 1} d LEFT JOIN c{h} c ON d.l = c.l AND d.v = c.v
+)""")
+    parts.append("""
+SELECT v, ROUND(SUM(delta), 6) AS btw_r6
+FROM del1 WHERE d > 0 GROUP BY v""")
+    return "".join(parts)
+
+
 def _cc_sql(rounds: int = 12) -> str:
     """Exact connected components in pure SQL: per round, every vertex's
     label drops to min(own, neighbours') then pointer-jumps (lbl ← lbl of
@@ -1210,6 +1270,20 @@ def q_sssp_from_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select("v", F.col("d").cast("long").alias("d"))
 
 
+def q_betweenness_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark betweenness from the tool vertices (Brandes dependency,
+    hop cap 6) — hash-checked against _btw_sql(6)'s forward+backward
+    unrolled twin."""
+    from montecarlopagerank_spark.algos.betweenness import landmark_betweenness
+
+    e = _string_edges(spark, sf_dir).select("src", "dst")
+    srcs = e.filter(F.col("dst").startswith("tool#")).select(
+        F.col("dst").alias("v")
+    )
+    bc, _ = landmark_betweenness(spark, e, srcs, max_hops=6, directed=False)
+    return bc.select("v", F.round("btw", 6).alias("btw_r6"))
+
+
 def q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperANF neighborhood function N(h) over the undirected transcript
     graph (rows-only: HLL estimates are approximate by design — the
@@ -1789,6 +1863,7 @@ QUERIES = {
     "sssp_from_tools": q_sssp_from_tools,
     "random_walks_tools": q_random_walks_tools,
     "neighborhood_function": q_neighborhood_function,
+    "betweenness_tools": q_betweenness_tools,
     "token_stats": q_token_stats,
     "quality_score": q_quality_score,
     "langid_heuristic": q_langid_heuristic,
@@ -1903,6 +1978,7 @@ FROM sym JOIN deg du ON sym.u = du.u JOIN deg dw ON sym.w = dw.u
     "bfs_hops_tools": _bfs_sql(6),
     "sssp_from_tools": _sssp_sql(24),
     "random_walks_tools": _walks_sql(6, 2),
+    "betweenness_tools": _btw_sql(6),
     "harmonic_centrality_tools": _harmonic_sql(6),
     "connected_components_sizes": _cc_sql(24),
     "k_core_2": _kcore_sql(2, 28),
