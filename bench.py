@@ -95,6 +95,14 @@ def main() -> None:
         cc = connected_components(spark, edges, vertices)
         cc.groupBy("component").count().orderBy(F.desc("count")).limit(5).collect()
 
+    with timed("modularity_cc"):
+        from montecarlopagerank_spark.algos.modularity import modularity
+
+        mq = modularity(
+            edges, cc.select("v", F.col("component").alias("label"))
+        ).collect()
+    extra["modularity_cc"] = mq[0]["modularity_r6"]
+
     with timed("label_propagation_10"):
         lp = label_propagation(spark, edges, vertices, max_iters=10)
         lp.groupBy("label").count().orderBy(F.desc("count")).limit(5).collect()
@@ -162,6 +170,15 @@ def main() -> None:
             spark, edges, wsrcs, walk_length=8, walks_per_vertex=1
         )
     extra["walk_rows"] = winfo["rows"]
+
+    with timed("node2vec_l6"):
+        from montecarlopagerank_spark.algos.node2vec import node2vec_walks
+
+        _, n2vinfo = node2vec_walks(
+            spark, edges, srcs, walk_length=6, walks_per_vertex=4,
+            p=0.5, q=2.0,
+        )
+    extra["node2vec_rows"] = n2vinfo["rows"]
 
     # incremental edge maintenance: stage the transcripts as a parquet
     # "log" outside the timer, then time the stateful availableNow drain

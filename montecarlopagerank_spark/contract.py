@@ -384,6 +384,18 @@ def _cc_sql(rounds: int = 12) -> str:
     Every CTE is MATERIALIZED: each l{r} is referenced 2-3 times per
     round, so inlining would blow the expression tree (and DuckDB's file
     handles) up exponentially in ``rounds``."""
+    parts = _cc_label_ctes(rounds)
+    parts.append(f"""
+SELECT CAST(size AS BIGINT) AS size, COUNT(*) AS n_components
+FROM (SELECT lbl, COUNT(*) AS size FROM l{rounds} GROUP BY lbl)
+GROUP BY size""")
+    return "".join(parts)
+
+
+def _cc_label_ctes(rounds: int) -> list[str]:
+    """Shared CTE chain ending in the per-vertex component-label table
+    ``l{rounds}(v, lbl)`` — used by _cc_sql (histogram) and
+    _modularity_sql (partition score)."""
     mat = (
         ("WITH " + SQL_TEDGES[1:])
         .replace("turns AS (", "turns AS MATERIALIZED (")
@@ -417,10 +429,37 @@ a{r} AS MATERIALIZED (
 l{r + 1} AS MATERIALIZED (
   SELECT a.v, b.lbl FROM a{r} a JOIN a{r} b ON a.lbl = b.v
 )""")
-    parts.append(f"""
-SELECT CAST(size AS BIGINT) AS size, COUNT(*) AS n_components
-FROM (SELECT lbl, COUNT(*) AS size FROM l{rounds} GROUP BY lbl)
-GROUP BY size""")
+    return parts
+
+
+def _modularity_sql(rounds: int = 24) -> str:
+    """Newman modularity of the connected-component partition. Q is a
+    pure function of the partition (label values cancel), so the
+    engine's min-vid labels and this twin's min-string labels (same
+    unrolled CC chain as _cc_sql) score identically."""
+    parts = _cc_label_ctes(rounds)
+    parts.append(f""",
+und AS MATERIALIZED (SELECT u AS x, v AS y FROM sym WHERE u < v),
+deg AS MATERIALIZED (SELECT u AS v, COUNT(*) AS d FROM sym GROUP BY u),
+dsum AS (
+  SELECT l.lbl, SUM(d.d) AS dc
+  FROM deg d JOIN l{rounds} l ON d.v = l.v GROUP BY l.lbl
+),
+intra AS (
+  SELECT lx.lbl, COUNT(*) AS ec
+  FROM und u
+  JOIN l{rounds} lx ON u.x = lx.v
+  JOIN l{rounds} ly ON u.y = ly.v
+  WHERE lx.lbl = ly.lbl
+  GROUP BY lx.lbl
+),
+mm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM und)
+SELECT ROUND(SUM(COALESCE(i.ec, 0) / mm.m
+                 - (ds.dc / (2 * mm.m)) * (ds.dc / (2 * mm.m))), 6)
+         AS modularity_r6,
+       CAST(mm.m AS BIGINT) AS m
+FROM dsum ds LEFT JOIN intra i ON ds.lbl = i.lbl CROSS JOIN mm
+GROUP BY mm.m""")
     return "".join(parts)
 
 
@@ -1270,6 +1309,20 @@ def q_sssp_from_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select("v", F.col("d").cast("long").alias("d"))
 
 
+def q_modularity_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the connected-component partition — Q is
+    partition-invariant, so the vid-graph engine score hash-matches the
+    string-key twin (_modularity_sql) built on the same unrolled-CC
+    chain as the components oracle."""
+    from montecarlopagerank_spark.algos.components import connected_components
+    from montecarlopagerank_spark.algos.modularity import modularity
+
+    edges, vertices, key = _vid_graph(spark, sf_dir)
+    cc = connected_components(spark, edges, vertices)
+    labels = cc.select("v", F.col("component").alias("label"))
+    return modularity(edges.select("src", "dst"), labels)
+
+
 def q_betweenness_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Landmark betweenness from the tool vertices (Brandes dependency,
     hop cap 6) — hash-checked against _btw_sql(6)'s forward+backward
@@ -1311,6 +1364,29 @@ def q_random_walks_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     walks, _ = random_walks(
         spark, e, srcs, walk_length=6, walks_per_vertex=2, chooser="lcg"
+    )
+    return walks.select(
+        "start",
+        F.col("rep").cast("long").alias("rep"),
+        F.col("step").cast("int").alias("step"),
+        "v",
+    )
+
+
+def q_node2vec_walks_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec (p=0.5, q=2.0) biased walk corpus from the tool vertices
+    (rows-only: the weighted pick's double comparisons have no exact
+    cross-engine replay — tests/test_node2vec.py pins exact transition
+    distributions on closed-form graphs, determinism across parallelism,
+    and dead-end semantics)."""
+    from montecarlopagerank_spark.algos.node2vec import node2vec_walks
+
+    e = _string_edges(spark, sf_dir).select("src", "dst")
+    srcs = e.filter(F.col("dst").startswith("tool#")).select(
+        F.col("dst").alias("v")
+    )
+    walks, _ = node2vec_walks(
+        spark, e, srcs, walk_length=6, walks_per_vertex=2, p=0.5, q=2.0
     )
     return walks.select(
         "start",
@@ -1864,6 +1940,8 @@ QUERIES = {
     "random_walks_tools": q_random_walks_tools,
     "neighborhood_function": q_neighborhood_function,
     "betweenness_tools": q_betweenness_tools,
+    "modularity_cc": q_modularity_cc,
+    "node2vec_walks_tools": q_node2vec_walks_tools,
     "token_stats": q_token_stats,
     "quality_score": q_quality_score,
     "langid_heuristic": q_langid_heuristic,
@@ -1979,6 +2057,7 @@ FROM sym JOIN deg du ON sym.u = du.u JOIN deg dw ON sym.w = dw.u
     "sssp_from_tools": _sssp_sql(24),
     "random_walks_tools": _walks_sql(6, 2),
     "betweenness_tools": _btw_sql(6),
+    "modularity_cc": _modularity_sql(24),
     "harmonic_centrality_tools": _harmonic_sql(6),
     "connected_components_sizes": _cc_sql(24),
     "k_core_2": _kcore_sql(2, 28),
