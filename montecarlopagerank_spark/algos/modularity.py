@@ -22,6 +22,69 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def conductance(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community conductance φ(c) = cut(c) / min(vol(c), vol(rest))
+    over the undirected simple closure — the complement metric to
+    :func:`modularity` (low φ = well-separated community). ``cut(c)`` =
+    edges with exactly one endpoint in c, ``vol(c)`` = Σ degree inside
+    c. Communities spanning the whole volume (vol(rest) = 0) get φ = 0
+    by convention. Same scale shape as modularity: the O(E) pair set is
+    joined once against two O(V) ``shuffle_hash`` label sides, then
+    k-row arithmetic. Partition-invariant per label, so the DuckDB twin
+    compares (size, φ) pairs — label-value-free (contract.py
+    ``conductance_cc``)."""
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("y")
+        )
+        .distinct()
+    )
+    lab = labels.select("v", "label")
+    sym = und.select(F.col("x").alias("v"), F.col("y").alias("w")).unionByName(
+        und.select(F.col("y").alias("v"), F.col("x").alias("w"))
+    )
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    vol = (
+        deg.join(lab.hint("shuffle_hash"), "v")
+        .groupBy("label")
+        .agg(F.sum("d").alias("vol"), F.count(F.lit(1)).alias("size"))
+    )
+    tagged = und.join(
+        lab.select(F.col("v").alias("x"), F.col("label").alias("lx")).hint(
+            "shuffle_hash"
+        ),
+        "x",
+    ).join(
+        lab.select(F.col("v").alias("y"), F.col("label").alias("ly")).hint(
+            "shuffle_hash"
+        ),
+        "y",
+    )
+    cut = (
+        tagged.filter(F.col("lx") != F.col("ly"))
+        .select(F.explode(F.array("lx", "ly")).alias("label"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("cut"))
+    )
+    total_vol = 2 * und.count()
+    return (
+        vol.join(cut, "label", "left")
+        .select(
+            "label",
+            "size",
+            F.round(
+                F.when(
+                    F.least(F.col("vol"), F.lit(total_vol) - F.col("vol")) > 0,
+                    F.coalesce(F.col("cut"), F.lit(0))
+                    / F.least(F.col("vol"), F.lit(total_vol) - F.col("vol")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("phi_r6"),
+        )
+    )
+
+
 def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     """``edges(src, dst)`` + ``labels(v, label)`` → 1-row
     ``(modularity_r6 double, m long)``. Undirected simple-graph closure;

@@ -463,6 +463,41 @@ GROUP BY mm.m""")
     return "".join(parts)
 
 
+def _conductance_sql(rounds: int = 24) -> str:
+    """Per-community conductance histogram over the CC partition.
+    Labels differ between engines (min-vid vs min-string), so the
+    comparable output is the (size, φ) histogram — partition-invariant
+    like the CC size histogram."""
+    parts = _cc_label_ctes(rounds)
+    parts.append(f""",
+und2 AS MATERIALIZED (SELECT u AS x, v AS y FROM sym WHERE u < v),
+deg AS MATERIALIZED (SELECT u AS v, COUNT(*) AS d FROM sym GROUP BY u),
+vol AS (
+  SELECT l.lbl, SUM(d.d) AS vol, COUNT(*) AS size
+  FROM deg d JOIN l{rounds} l ON d.v = l.v GROUP BY l.lbl
+),
+crossed AS MATERIALIZED (
+  SELECT lx.lbl AS la, ly.lbl AS lb
+  FROM und2 u
+  JOIN l{rounds} lx ON u.x = lx.v
+  JOIN l{rounds} ly ON u.y = ly.v
+  WHERE lx.lbl <> ly.lbl
+),
+cut AS (
+  SELECT lbl, COUNT(*) AS cut FROM (
+    SELECT la AS lbl FROM crossed UNION ALL SELECT lb FROM crossed
+  ) GROUP BY lbl
+),
+tv AS (SELECT 2.0 * COUNT(*) AS t FROM und2)
+SELECT v.size, ROUND(CASE WHEN LEAST(v.vol, tv.t - v.vol) > 0
+                          THEN COALESCE(c.cut, 0) / LEAST(v.vol, tv.t - v.vol)
+                          ELSE 0.0 END, 6) AS phi_r6,
+       COUNT(*) AS n
+FROM vol v LEFT JOIN cut c ON v.lbl = c.lbl CROSS JOIN tv
+GROUP BY 1, 2""")
+    return "".join(parts)
+
+
 def _lpa_sql(rounds: int = 2) -> str:
     """Synchronous LPA unrolled to exactly ``rounds`` supersteps: each
     vertex adopts the most frequent neighbour label, ties broken by
@@ -968,6 +1003,35 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DEGREE_QUANTILE_PS = [0.5, 0.9, 0.99, 0.999]
+
+
+def q_degree_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated out-degree quantiles (p50/p90/p99/p999 —
+    the skew numbers that size a 100 TB shuffle) via Spark's exact
+    ``percentile`` aggregate, hash-checked against DuckDB's
+    ``quantile_cont`` (same (n−1)·p linear-interpolation definition).
+    The at-scale path is ``approx_percentile`` (sketch-based, one pass,
+    no global sort); tests/test_modularity.py pins it within 1% of the
+    exact values on the same data."""
+    e = _string_edges(spark, sf_dir)
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .unionByName(e.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    outd = e.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("out_deg"))
+    full = verts.join(outd, "v", "left").select(
+        F.coalesce("out_deg", F.lit(0)).alias("out_deg")
+    )
+    ps = F.array(*[F.lit(p) for p in DEGREE_QUANTILE_PS])
+    qs = full.agg(F.percentile("out_deg", ps).alias("qs"))
+    return qs.select(F.posexplode("qs").alias("i", "qv")).select(
+        F.element_at(ps, F.col("i") + 1).alias("p"),
+        F.round("qv", 6).alias("q_r6"),
+    )
+
+
 def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity of the undirected simple closure: Pearson
     correlation of endpoint degrees over the symmetric edge list (Newman,
@@ -1321,6 +1385,23 @@ def q_modularity_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = connected_components(spark, edges, vertices)
     labels = cc.select("v", F.col("component").alias("label"))
     return modularity(edges.select("src", "dst"), labels)
+
+
+def q_conductance_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(size, conductance) histogram of the CC partition — label-value-
+    free, hash-checked against _conductance_sql on the same unrolled-CC
+    chain. (Whole-component conductance over disconnected pieces is 0
+    by construction — cut = 0 — so this exercises the vol/cut plumbing
+    end-to-end; community-level nonzero φ is pinned by pytest on
+    hand-built partitions.)"""
+    from montecarlopagerank_spark.algos.components import connected_components
+    from montecarlopagerank_spark.algos.modularity import conductance
+
+    edges, vertices, key = _vid_graph(spark, sf_dir)
+    cc = connected_components(spark, edges, vertices)
+    labels = cc.select("v", F.col("component").alias("label"))
+    phi = conductance(edges.select("src", "dst"), labels)
+    return phi.groupBy("size", "phi_r6").agg(F.count(F.lit(1)).alias("n"))
 
 
 def q_betweenness_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1918,6 +1999,7 @@ QUERIES = {
     "tool_usage": q_tool_usage,
     "degree_top20": q_degree_top20,
     "degree_distribution": q_degree_distribution,
+    "degree_quantiles": q_degree_quantiles,
     "degree_assortativity": q_degree_assortativity,
     "pagerank_power_fixed": q_pagerank_power_fixed,
     "pagerank_weighted_fixed": q_pagerank_weighted_fixed,
@@ -1942,6 +2024,7 @@ QUERIES = {
     "betweenness_tools": q_betweenness_tools,
     "modularity_cc": q_modularity_cc,
     "node2vec_walks_tools": q_node2vec_walks_tools,
+    "conductance_cc": q_conductance_cc,
     "token_stats": q_token_stats,
     "quality_score": q_quality_score,
     "langid_heuristic": q_langid_heuristic,
@@ -2036,6 +2119,20 @@ SELECT CAST(COALESCE(outd.out_deg, 0) AS BIGINT) AS out_deg,
 FROM verts LEFT JOIN outd ON verts.v = outd.v
 GROUP BY 1
 """,
+    "degree_quantiles": f"""
+WITH {SQL_TEDGES[1:]},
+verts AS (SELECT src AS v FROM tedges UNION SELECT dst FROM tedges),
+outd AS (SELECT src AS v, COUNT(*) AS out_deg FROM tedges GROUP BY src),
+alld AS (
+  SELECT COALESCE(outd.out_deg, 0) AS od
+  FROM verts LEFT JOIN outd ON verts.v = outd.v
+)
+SELECT p, ROUND(q, 6) AS q_r6 FROM (
+  SELECT UNNEST([0.5, 0.9, 0.99, 0.999]) AS p,
+         UNNEST(quantile_cont(od, [0.5, 0.9, 0.99, 0.999])) AS q
+  FROM alld
+)
+""",
     "degree_assortativity": f"""
 WITH {SQL_TEDGES[1:]},
 und AS (
@@ -2058,6 +2155,7 @@ FROM sym JOIN deg du ON sym.u = du.u JOIN deg dw ON sym.w = dw.u
     "random_walks_tools": _walks_sql(6, 2),
     "betweenness_tools": _btw_sql(6),
     "modularity_cc": _modularity_sql(24),
+    "conductance_cc": _conductance_sql(24),
     "harmonic_centrality_tools": _harmonic_sql(6),
     "connected_components_sizes": _cc_sql(24),
     "k_core_2": _kcore_sql(2, 28),

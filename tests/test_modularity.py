@@ -6,7 +6,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from montecarlopagerank_spark.algos.modularity import modularity
+from montecarlopagerank_spark.algos.modularity import conductance, modularity
 from tests.conftest import edges_df
 
 
@@ -57,3 +57,46 @@ def test_empty_graph(spark):
     lab = labels_df(spark, {0: 0})
     q, m = _q(modularity(e, lab))
     assert (q, m) == (0.0, 0)
+
+
+def _phi(df):
+    return {r["label"]: (r["size"], r["phi_r6"]) for r in df.collect()}
+
+
+def test_conductance_two_triangles(spark, two_triangles_bridge):
+    lab = labels_df(spark, {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1})
+    got = _phi(conductance(two_triangles_bridge, lab))
+    # each side: cut=1 (the bridge), vol=7, rest=7 → φ = 1/7
+    assert got == {
+        0: (3, pytest.approx(round(1 / 7, 6))),
+        1: (3, pytest.approx(round(1 / 7, 6))),
+    }
+
+
+def test_conductance_whole_graph_zero(spark, two_triangles_bridge):
+    lab = labels_df(spark, {v: 0 for v in range(6)})
+    got = _phi(conductance(two_triangles_bridge, lab))
+    assert got == {0: (6, 0.0)}
+
+
+def test_conductance_singleton_is_one(spark, two_triangles_bridge):
+    # {0} vs rest: vertex 0 has degree 2, both edges cut → φ = 2/2 = 1
+    lab = labels_df(spark, {0: 1, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0})
+    got = _phi(conductance(two_triangles_bridge, lab))
+    assert got[1] == (1, 1.0)
+
+
+def test_approx_percentile_tracks_exact(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    vals = np.concatenate(
+        [rng.zipf(2.0, 5000).clip(max=10000), np.zeros(1000)]
+    ).astype(int)
+    df = spark.createDataFrame([(int(x),) for x in vals], "od long")
+    ps = [0.5, 0.9, 0.99, 0.999]
+    arr = F.array(*[F.lit(p) for p in ps])
+    exact = df.agg(F.percentile("od", arr)).collect()[0][0]
+    approx = df.agg(F.approx_percentile("od", arr, 10000)).collect()[0][0]
+    for e_, a_ in zip(exact, approx):
+        assert abs(a_ - e_) <= max(1.0, 0.01 * e_)
