@@ -48,10 +48,13 @@ def katz(
     beta: float = 1.0,
     iters: int = 6,
     n_partitions: int | None = None,
+    x0: float | None = None,
 ) -> tuple[DataFrame, dict[str, Any]]:
     """``edges(src, dst)`` → (``scores(v, katz)``, info) after ``iters``
-    exact supersteps from x₀ = β·1. ``vertices(vid, ...)`` optionally
-    supplies isolated vertex ids (score stays β)."""
+    exact supersteps from x₀ = ``x0``·1 (default β·1). ``vertices(vid,
+    ...)`` optionally supplies isolated vertex ids (score stays β).
+    ``x0`` exists so the β=0 power-method family (eigenvector
+    centrality) can still start from a non-degenerate vector."""
     t0 = time.time()
     n_parts = int(n_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
     e = edges.select("src", "dst")
@@ -73,9 +76,10 @@ def katz(
             "n": 0,
         }
 
+    init = float(beta if x0 is None else x0)
     store = StateStore(spark)
-    x = store.materialize(verts.select("v", F.lit(float(beta)).alias("s")), "katz_x")
-    mass = float(n) * beta
+    x = store.materialize(verts.select("v", F.lit(init).alias("s")), "katz_x")
+    mass = float(n) * init
     for it in range(iters):
         agg = (
             e_src.join(
@@ -101,10 +105,15 @@ def katz(
         x = store.materialize(x_next, "katz_x")
         mass = obs.get["t"]
 
+    norm = (
+        (F.col("s") * F.lit(float(n)) / F.lit(float(mass)))
+        if mass != 0.0
+        else F.lit(0.0)  # edge-free graph: keep the output finite
+    )
     out = x.select(
         "v",
         F.col("s").alias("katz"),
-        (F.col("s") * F.lit(float(n)) / F.lit(float(mass))).alias("katz_norm"),
+        norm.alias("katz_norm"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
     e_src.unpersist(), verts.unpersist()
@@ -114,3 +123,29 @@ def katz(
         "mass": mass,
         "secs": round(time.time() - t0, 3),
     }
+
+
+def eigenvector_centrality(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    iters: int = 6,
+    n_partitions: int | None = None,
+) -> tuple[DataFrame, dict[str, Any]]:
+    """In-edge eigenvector centrality by ``iters`` exact power-method
+    supersteps: x₀ = 1, x ← Aᵀx, L1-normalized ×n once at the end — the
+    β=0 member of the Katz family (x converges in direction to the
+    dominant left eigenvector of the multigraph adjacency; the single
+    final normalization keeps the unrolled SQL twin exact, katz.py
+    module docstring). Output column is still named ``katz``/
+    ``katz_norm`` — same contract as :func:`katz`."""
+    return katz(
+        spark,
+        edges,
+        vertices,
+        alpha=1.0,
+        beta=0.0,
+        iters=iters,
+        n_partitions=n_partitions,
+        x0=1.0,
+    )

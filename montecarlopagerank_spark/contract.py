@@ -669,15 +669,22 @@ SELECT x, y FROM s{rounds}""")
     return "".join(parts)
 
 
-def _katz_sql(iters: int, alpha: float) -> str:
-    """Katz iteration twin: x₀ = 1, x ← 1 + α·Aᵀx over the multigraph,
-    unrolled ``iters`` supersteps, L1-normalized ×n at the end (see
-    algos/katz.py on why normalized output is the scale-safe form)."""
+def _katz_sql(
+    iters: int,
+    alpha: float,
+    beta: float = 1.0,
+    x0: float = 1.0,
+    out_col: str = "katz_n6",
+) -> str:
+    """Katz-family iteration twin: x₀ = ``x0``·1, x ← β + α·Aᵀx over the
+    multigraph, unrolled ``iters`` supersteps, L1-normalized ×n at the
+    end (see algos/katz.py on why normalized output is the scale-safe
+    form). β=0, α=1 is the eigenvector-centrality power method."""
     parts = [
         "WITH " + SQL_TEDGES[1:],
-        """,
+        f""",
 verts AS (SELECT src AS v FROM tedges UNION SELECT dst FROM tedges),
-k0 AS (SELECT v, 1.0 AS s FROM verts)""",
+k0 AS (SELECT v, {x0} AS s FROM verts)""",
     ]
     for i in range(iters):
         parts.append(f""",
@@ -686,12 +693,12 @@ a{i} AS (
   FROM tedges e JOIN k{i} k ON e.src = k.v GROUP BY e.dst
 ),
 k{i + 1} AS MATERIALIZED (
-  SELECT verts.v, 1.0 + {alpha} * COALESCE(m, 0) AS s
+  SELECT verts.v, {beta} + {alpha} * COALESCE(m, 0) AS s
   FROM verts LEFT JOIN a{i} ON verts.v = a{i}.v
 )""")
     parts.append(f"""
 SELECT v, ROUND(s * (SELECT COUNT(*) FROM verts) / (SELECT SUM(s) FROM k{iters}),
-                6) AS katz_n6
+                6) AS {out_col}
 FROM k{iters}""")
     return "".join(parts)
 
@@ -1854,6 +1861,37 @@ def q_katz_fixed6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scores.select("v", F.round("katz_norm", 6).alias("katz_n6"))
 
 
+def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated 5-gram statistics + longest duplicated
+    span per document (pipeline/dupspans.py — the distributed stand-in
+    for suffix-array exact-substring dedup) — hash-checked against a
+    DuckDB twin whose span detection is the classic gaps-and-islands
+    window (the Spark side folds a doc-bounded array instead)."""
+    from montecarlopagerank_spark.pipeline.dupspans import dup_ngram_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dup_ngram_spans(docs, n=5, min_docs=2)
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "n_dup_grams",
+        F.round("dup_ratio", 6).alias("dup_ratio_r6"),
+        "max_dup_run",
+    )
+
+
+def q_eigenvector_fixed6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-edge eigenvector centrality, 6 exact power-method supersteps
+    (x₀ = 1, x ← Aᵀx), L1-normalized ×n — the β=0 member of the Katz
+    family (algos/katz.py) — hash-checked against the unrolled twin
+    _katz_sql(6, alpha=1, beta=0)."""
+    from montecarlopagerank_spark.algos.katz import eigenvector_centrality
+
+    e = _string_edges(spark, sf_dir).select("src", "dst")
+    scores, _ = eigenvector_centrality(spark, e, iters=6)
+    return scores.select("v", F.round("katz_norm", 6).alias("eig_n6"))
+
+
 def q_mis_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal independent set (deterministic Luby, algos/mis.py) of the
     undirected simple closure — exact membership hash-checked against
@@ -2054,6 +2092,8 @@ QUERIES = {
     "tool_cooccurrence": q_tool_cooccurrence,
     "reciprocity": q_reciprocity,
     "katz_fixed6": q_katz_fixed6,
+    "eigenvector_fixed6": q_eigenvector_fixed6,
+    "dup_ngram_spans": q_dup_ngram_spans,
     "mis_vertices": q_mis_vertices,
     "gopher_quality_flags": q_gopher_quality_flags,
     "repetition_stats": q_repetition_stats,
@@ -2563,6 +2603,52 @@ SELECT ROUND(AVG(CASE WHEN r.src IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
 FROM d LEFT JOIN d r ON d.src = r.dst AND d.dst = r.src
 """,
     "katz_fixed6": _katz_sql(6, 0.05),
+    "eigenvector_fixed6": _katz_sql(6, 1.0, beta=0.0, out_col="eig_n6"),
+    # span detection: gaps-and-islands window here, doc-bounded array
+    # fold on the Spark side (dupspans.py)
+    "dup_ngram_spans": """
+WITH tk AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+  FROM documents
+), gs AS (
+  SELECT doc_id,
+    CASE WHEN len(tk) >= 5
+      THEN list_transform(range(1, len(tk) - 3), i ->
+        tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+              || ' ' || tk[i+4])
+      ELSE [] END AS gs
+  FROM tk
+), p AS (
+  SELECT doc_id, unnest(range(0, len(gs))) AS pos, unnest(gs) AS gram FROM gs
+), dupk AS (
+  SELECT gram FROM (
+    SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM p GROUP BY gram)
+  WHERE nd >= 2
+), f AS (
+  SELECT p.doc_id, p.pos, (dupk.gram IS NOT NULL) AS dup
+  FROM p LEFT JOIN dupk ON p.gram = dupk.gram
+), isl AS (
+  SELECT doc_id, pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+         AS grp
+  FROM f WHERE dup
+), best AS (
+  SELECT doc_id, MAX(c) AS max_run FROM (
+    SELECT doc_id, grp, COUNT(*) AS c FROM isl GROUP BY doc_id, grp)
+  GROUP BY doc_id
+), agg AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_grams,
+         SUM(CASE WHEN dup THEN 1 ELSE 0 END)::BIGINT AS n_dup_grams
+  FROM f GROUP BY doc_id
+)
+SELECT d.doc_id,
+  COALESCE(n_grams, 0)::BIGINT AS n_grams,
+  COALESCE(n_dup_grams, 0)::BIGINT AS n_dup_grams,
+  ROUND(CASE WHEN COALESCE(n_grams, 0) > 0
+             THEN n_dup_grams * 1.0 / n_grams ELSE 0.0 END, 6)::DOUBLE
+    AS dup_ratio_r6,
+  COALESCE(max_run, 0)::BIGINT AS max_dup_run
+FROM documents d LEFT JOIN agg USING (doc_id) LEFT JOIN best USING (doc_id)
+""",
     "mis_vertices": _mis_sql(6),
     "gopher_quality_flags": f"""
 WITH base AS (

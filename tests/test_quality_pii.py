@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from montecarlopagerank_spark.algos.katz import katz
+from montecarlopagerank_spark.algos.katz import eigenvector_centrality, katz
 from montecarlopagerank_spark.algos.mis import luby_mis
 from montecarlopagerank_spark.pipeline.contamination import contamination_check
 from montecarlopagerank_spark.pipeline.pii import pii_scrub
@@ -171,6 +171,40 @@ def test_katz_norm_sums_to_n(spark, cycle5):
     scores, info = katz(spark, cycle5, alpha=0.1, iters=4)
     total = scores.agg(F.sum("katz_norm")).collect()[0][0]
     assert total == pytest.approx(info["n"], rel=1e-9)
+
+
+def test_eigenvector_matches_dense_power_method(spark):
+    edges = random_powerlaw_digraph(n=80, seed=11)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    scores, info = eigenvector_centrality(spark, df, iters=6)
+    got = {r.v: r.katz_norm for r in scores.collect()}
+    verts = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {v: i for i, v in enumerate(verts)}
+    A = np.zeros((len(verts), len(verts)))
+    for u, v in edges:
+        A[idx[u], idx[v]] += 1.0
+    x = np.ones(len(verts))
+    for _ in range(6):
+        x = A.T @ x  # raw power method, normalized once at the end
+    x = x * len(verts) / x.sum()
+    for v in verts:
+        assert got[v] == pytest.approx(x[idx[v]], rel=1e-9, abs=1e-12)
+    assert info["n"] == len(verts)
+
+
+def test_eigenvector_zero_in_degree_scores_zero(spark):
+    # a -> b -> c chain: after 2+ steps only c retains mass (a gets none,
+    # b's supply dies once a's initial mass passes through)
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    scores, _ = eigenvector_centrality(spark, df, iters=3)
+    got = {r.v: r.katz for r in scores.collect()}
+    assert got["a"] == 0.0 and got["b"] == 0.0 and got["c"] == 0.0
+    # iters=1 keeps the chain alive: b and c each received a's/b's unit
+    scores1, _ = eigenvector_centrality(spark, df, iters=1)
+    got1 = {r.v: r.katz for r in scores1.collect()}
+    assert got1 == {"a": 0.0, "b": 1.0, "c": 1.0}
 
 
 # ---------------------------------------------------------------------------
