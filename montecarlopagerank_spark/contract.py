@@ -703,6 +703,71 @@ FROM k{iters}""")
     return "".join(parts)
 
 
+def _louvain_sql(rounds: int) -> str:
+    """Single-level synchronous gated Louvain twin (algos/louvain.py):
+    md5-parity move gating, exact-LONG aggregates, double gain scores
+    with the identical expression shape (IEEE ops on identical operands
+    are bit-equal across engines), smallest-community tie break, strict
+    improvement. Emits the community size histogram after ``rounds``
+    local-move rounds on the undirected simple closure."""
+    parts = [
+        ("WITH " + SQL_TEDGES[1:]).replace("tedges AS (", "tedges AS MATERIALIZED ("),
+        """,
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS x, GREATEST(src, dst) AS y
+  FROM tedges WHERE src <> dst
+),
+sym AS MATERIALIZED (
+  SELECT x AS u, y AS w, 1::BIGINT AS wt FROM und
+  UNION ALL SELECT y, x, 1::BIGINT FROM und
+),
+deg AS MATERIALIZED (SELECT u AS v, SUM(wt)::BIGINT AS k FROM sym GROUP BY u),
+twom AS (SELECT CAST(SUM(k) AS DOUBLE) AS m2 FROM deg),
+lab0 AS (SELECT v, v AS c FROM deg)""",
+    ]
+    for r in range(rounds):
+        parts.append(f""",
+tot{r} AS (
+  SELECT c, SUM(k)::BIGINT AS tot FROM lab{r} JOIN deg USING (v) GROUP BY c
+),
+cand{r} AS (
+  SELECT v, c, SUM(kvc)::BIGINT AS kvc FROM (
+    SELECT s.u AS v, l.c AS c, s.wt AS kvc FROM sym s JOIN lab{r} l ON s.w = l.v
+    UNION ALL SELECT v, c, 0 FROM lab{r}
+  ) GROUP BY v, c
+),
+sc{r} AS (
+  SELECT cd.v, cd.c, l.c AS cv,
+         CAST(kvc AS DOUBLE)
+           - CAST(deg.k AS DOUBLE)
+             * CAST(tot - CASE WHEN cd.c = l.c THEN deg.k ELSE 0 END AS DOUBLE)
+             / (SELECT m2 FROM twom) AS score
+  FROM cand{r} cd
+  JOIN tot{r} t ON cd.c = t.c
+  JOIN lab{r} l ON cd.v = l.v
+  JOIN deg ON cd.v = deg.v
+),
+rk{r} AS (
+  SELECT v, c, cv, score,
+         ROW_NUMBER() OVER (PARTITION BY v ORDER BY score DESC, c ASC) AS rn
+  FROM sc{r}
+),
+lab{r + 1} AS MATERIALIZED (
+  SELECT b.v,
+         CASE WHEN (('0x' || substr(md5(CAST(b.v AS VARCHAR)), 1, 8))::UBIGINT
+                    % 2) = {r % 2}
+                   AND b.score > s.score
+              THEN b.c ELSE b.cv END AS c
+  FROM (SELECT * FROM rk{r} WHERE rn = 1) b
+  JOIN (SELECT v, score FROM sc{r} WHERE c = cv) s USING (v)
+)""")
+    parts.append(f"""
+SELECT size, COUNT(*)::BIGINT AS n_communities FROM (
+  SELECT c, COUNT(*)::BIGINT AS size FROM lab{rounds} GROUP BY c)
+GROUP BY size""")
+    return "".join(parts)
+
+
 def _mis_sql(rounds: int) -> str:
     """Deterministic-Luby MIS twin (algos/mis.py): fixed md5 priorities,
     unrolled ``rounds`` rounds over the shrinking live vertex + pair
@@ -1861,6 +1926,40 @@ def q_katz_fixed6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scores.select("v", F.round("katz_norm", 6).alias("katz_n6"))
 
 
+def _community_size_hist(assign: DataFrame) -> DataFrame:
+    sizes = assign.groupBy("community").agg(F.count(F.lit(1)).alias("size"))
+    return (
+        sizes.groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_communities"))
+        .select(F.col("size").cast("long").alias("size"), "n_communities")
+    )
+
+
+def q_louvain_level1_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community size histogram after ONE Louvain level (6 synchronous
+    md5-parity-gated local-move rounds, no contraction, algos/louvain.py)
+    — hash-checked against the unrolled twin _louvain_sql(6)."""
+    from montecarlopagerank_spark.algos.louvain import louvain
+
+    e = _string_edges(spark, sf_dir).select("src", "dst")
+    assign, _ = louvain(spark, e, rounds_per_level=6, max_levels=1)
+    return _community_size_hist(assign)
+
+
+def q_louvain_communities_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multi-level Louvain (3 levels × 6 rounds + contraction)
+    community size histogram (rows-only: the contraction levels push the
+    unrolled SQL twin past usefulness — level 1 is hash-checked by
+    ``louvain_level1_sizes``, and the multi-level algorithm is pinned
+    EXACTLY against a pure-Python replay of the identical deterministic
+    rules plus parallelism-invariance in tests/test_louvain.py)."""
+    from montecarlopagerank_spark.algos.louvain import louvain
+
+    e = _string_edges(spark, sf_dir).select("src", "dst")
+    assign, _ = louvain(spark, e, rounds_per_level=6, max_levels=3)
+    return _community_size_hist(assign)
+
+
 def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated 5-gram statistics + longest duplicated
     span per document (pipeline/dupspans.py — the distributed stand-in
@@ -2094,6 +2193,8 @@ QUERIES = {
     "katz_fixed6": q_katz_fixed6,
     "eigenvector_fixed6": q_eigenvector_fixed6,
     "dup_ngram_spans": q_dup_ngram_spans,
+    "louvain_level1_sizes": q_louvain_level1_sizes,
+    "louvain_communities_sizes": q_louvain_communities_sizes,
     "mis_vertices": q_mis_vertices,
     "gopher_quality_flags": q_gopher_quality_flags,
     "repetition_stats": q_repetition_stats,
@@ -2604,6 +2705,7 @@ FROM d LEFT JOIN d r ON d.src = r.dst AND d.dst = r.src
 """,
     "katz_fixed6": _katz_sql(6, 0.05),
     "eigenvector_fixed6": _katz_sql(6, 1.0, beta=0.0, out_col="eig_n6"),
+    "louvain_level1_sizes": _louvain_sql(6),
     # span detection: gaps-and-islands window here, doc-bounded array
     # fold on the Spark side (dupspans.py)
     "dup_ngram_spans": """
