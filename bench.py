@@ -281,6 +281,15 @@ def main() -> None:
         extra["mis_size"] = m.count()
     extra["mis_rounds"] = minfo["rounds"]
 
+    with timed("louvain_4x2"):
+        from montecarlopagerank_spark.algos.louvain import louvain
+
+        lassign, linfo = louvain(spark, edges, rounds_per_level=4, max_levels=2)
+        lassign.groupBy("community").count().orderBy(F.desc("count")).limit(
+            5
+        ).collect()
+    extra["louvain_communities"] = linfo["n_communities"]
+
     # behavioral analytics over the events table
     from montecarlopagerank_spark.pipeline.funnel import (
         event_transition_matrix,
@@ -314,6 +323,13 @@ def main() -> None:
             F.sum(F.col("passes_gopher").cast("long"))
         ).collect()
         repetition_stats(docs).agg(F.avg("dup_token_frac")).collect()
+
+    with timed("dup_ngram_spans"):
+        from montecarlopagerank_spark.pipeline.dupspans import dup_ngram_spans
+
+        dup_ngram_spans(docs, n=5, min_docs=2).agg(
+            F.avg("dup_ratio"), F.max("max_dup_run")
+        ).collect()
 
     with timed("pii_scrub"):
         pii_scrub(
