@@ -93,27 +93,21 @@ def bfs_hops(
     }
 
 
-def harmonic_centrality(
+def _landmark_distances(
     spark: SparkSession,
     edges: DataFrame,
     landmarks: DataFrame,
-    max_hops: int = 6,
-    directed: bool = False,
-    n_partitions: int | None = None,
-) -> tuple[DataFrame, dict[str, Any]]:
-    """Landmark harmonic centrality (Boldi & Vigna, "Axioms for
-    Centrality", Internet Math 2014): ``h(v) = Σ_l 1/d(v,l)`` over the
-    landmark set, d capped at ``max_hops`` (unreached terms contribute 0,
-    which is harmonic's built-in disconnection handling — no 1/∞
-    special-casing). Exact per-landmark hop distances come from ONE
+    max_hops: int,
+    directed: bool,
+    n_partitions: int | None,
+) -> tuple[DataFrame, int]:
+    """Shared kernel of the landmark centralities: exact per-(landmark,
+    vertex) hop distances ``(l, v, hops)`` within ``max_hops``, from ONE
     multi-source BFS whose state is keyed (landmark, vertex) — landmarks
     expand simultaneously, so the loop costs the same number of rounds as
     a single BFS, not |landmarks| of them. Same one-job-per-hop /
-    O(frontier) shape as :func:`bfs_hops`.
-
-    Returns (``scores(v, harmonic)``, info). Vertices reaching no
-    landmark within the cap are absent (h = 0)."""
-    t0 = time.time()
+    O(frontier) shape as :func:`bfs_hops`. Returns (distances, rounds);
+    the distance table is NOT persisted (callers aggregate it once)."""
     n_parts = int(n_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
     e = edges.select(F.col("src").alias("u"), F.col("dst").alias("w"))
     if not directed:
@@ -159,10 +153,79 @@ def harmonic_centrality(
         frontier = new.select("l", "v")
         visited = store.materialize(visited.unionByName(new), "hc_dist")
     e.unpersist()
+    return visited, rounds
+
+
+def harmonic_centrality(
+    spark: SparkSession,
+    edges: DataFrame,
+    landmarks: DataFrame,
+    max_hops: int = 6,
+    directed: bool = False,
+    n_partitions: int | None = None,
+) -> tuple[DataFrame, dict[str, Any]]:
+    """Landmark harmonic centrality (Boldi & Vigna, "Axioms for
+    Centrality", Internet Math 2014): ``h(v) = Σ_l 1/d(v,l)`` over the
+    landmark set, d capped at ``max_hops`` (unreached terms contribute 0,
+    which is harmonic's built-in disconnection handling — no 1/∞
+    special-casing). Distances via :func:`_landmark_distances`.
+
+    Returns (``scores(v, harmonic)``, info). Vertices reaching no
+    landmark within the cap are absent (h = 0)."""
+    t0 = time.time()
+    visited, rounds = _landmark_distances(
+        spark, edges, landmarks, max_hops, directed, n_partitions
+    )
     out = (
         visited.filter(F.col("hops") > 0)  # d(l,l)=0 excluded (l ≠ v terms)
         .groupBy("v")
         .agg(F.sum(F.lit(1.0) / F.col("hops")).alias("harmonic"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    out.count()
+    return out, {
+        "rounds": rounds,
+        "max_hops": max_hops,
+        "secs": round(time.time() - t0, 3),
+    }
+
+
+def closeness_centrality(
+    spark: SparkSession,
+    edges: DataFrame,
+    landmarks: DataFrame,
+    max_hops: int = 6,
+    directed: bool = False,
+    n_partitions: int | None = None,
+) -> tuple[DataFrame, dict[str, Any]]:
+    """Landmark closeness centrality: ``c(v) = r_v / Σ_l d(v, l)`` over
+    the landmarks v reaches within ``max_hops`` (r_v = how many) — the
+    reciprocal of v's mean distance to its reachable landmarks, the
+    landmark-sampled estimator of classic closeness (Eppstein & Wang,
+    "Fast approximation of centrality", J. Graph Alg. Appl. 2004;
+    restricting the mean to reached nodes is the standard
+    disconnection-safe convention, cf. Wasserman & Faust). ``r_v`` is
+    returned so callers can apply a reach-fraction correction or filter
+    to vertices covering the full landmark set. The self term d(v,v)=0
+    of a landmark vertex is excluded, matching harmonic. Distances via
+    the same ONE simultaneous multi-source BFS as harmonic
+    (:func:`_landmark_distances`); the aggregation is one map-side-
+    combined groupBy — at 100 TB the only O(E)-touching work is the
+    shared BFS itself.
+
+    Returns (``scores(v, closeness, reached)``, info). Vertices reaching
+    no landmark are absent."""
+    t0 = time.time()
+    visited, rounds = _landmark_distances(
+        spark, edges, landmarks, max_hops, directed, n_partitions
+    )
+    out = (
+        visited.filter(F.col("hops") > 0)
+        .groupBy("v")
+        .agg(
+            (F.count(F.lit(1)) / F.sum("hops")).alias("closeness"),
+            F.count(F.lit(1)).alias("reached"),
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     out.count()

@@ -582,6 +582,21 @@ FROM d{max_hops} WHERE hops > 0 GROUP BY v""")
     return "".join(parts)
 
 
+def _closeness_sql(max_hops: int) -> str:
+    """Landmark closeness twin: the same unrolled per-(landmark, vertex)
+    relaxation as _harmonic_sql, with the final aggregate swapped for
+    reached / Σd (reciprocal mean distance to reached landmarks)."""
+    base = _harmonic_sql(max_hops)
+    tail = f"""
+SELECT v, ROUND(SUM(1.0 / hops), 6) AS harmonic_r6
+FROM d{max_hops} WHERE hops > 0 GROUP BY v"""
+    assert base.endswith(tail)
+    return base[: -len(tail)] + f"""
+SELECT v, ROUND(COUNT(*) * 1.0 / SUM(hops), 6) AS closeness_r6,
+       COUNT(*) AS reached
+FROM d{max_hops} WHERE hops > 0 GROUP BY v"""
+
+
 def _kcore_sql(k: int, rounds: int) -> str:
     """Synchronous k-core peeling unrolled to ``rounds`` removal rounds —
     the exact relational twin of algos/kcore.py (per round: degrees over
@@ -1257,6 +1272,25 @@ def q_harmonic_centrality_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h, _info = harmonic_centrality(spark, e, lmk, max_hops=6)
     return h.select("v", F.round("harmonic", 6).alias("harmonic_r6"))
+
+
+def q_closeness_centrality_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark closeness centrality (reciprocal mean distance to reached
+    landmarks) from the tool-vertex landmarks, hop cap 6, undirected
+    closure — hash-checked vs the relaxation twin (_closeness_sql(6))."""
+    from montecarlopagerank_spark.algos.bfs import closeness_centrality
+
+    e = _string_edges(spark, sf_dir).select("src", "dst")
+    lmk = (
+        e.select(F.col("src").alias("v"))
+        .unionByName(e.select(F.col("dst").alias("v")))
+        .filter(F.col("v").startswith("tool#"))
+        .distinct()
+    )
+    c, _info = closeness_centrality(spark, e, lmk, max_hops=6)
+    return c.select(
+        "v", F.round("closeness", 6).alias("closeness_r6"), "reached"
+    )
 
 
 def q_scc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2146,6 +2180,7 @@ QUERIES = {
     "connected_components_sizes": q_connected_components_sizes,
     "scc_sizes": q_scc_sizes,
     "harmonic_centrality_tools": q_harmonic_centrality_tools,
+    "closeness_centrality_tools": q_closeness_centrality_tools,
     "label_propagation_sizes": q_label_propagation_sizes,
     "label_propagation_fixed2": q_label_propagation_fixed2,
     "triangle_count": q_triangle_count,
@@ -2298,6 +2333,7 @@ FROM sym JOIN deg du ON sym.u = du.u JOIN deg dw ON sym.w = dw.u
     "modularity_cc": _modularity_sql(24),
     "conductance_cc": _conductance_sql(24),
     "harmonic_centrality_tools": _harmonic_sql(6),
+    "closeness_centrality_tools": _closeness_sql(6),
     "connected_components_sizes": _cc_sql(24),
     "k_core_2": _kcore_sql(2, 28),
     "k_truss_3": _truss_sql(3, 8),

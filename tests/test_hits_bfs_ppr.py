@@ -205,3 +205,42 @@ def test_harmonic_centrality_hop_cap_drops_far_terms(spark):
     h, _ = harmonic_centrality(spark, e, lmk, max_hops=2)
     got = {r["v"]: r["harmonic"] for r in h.collect()}
     assert got == {1: 1.0, 2: 0.5}  # 3, 4 unreached; landmark 0 absent
+
+
+def test_closeness_centrality_path_graph(spark):
+    """Path 0-1-2-3-4, landmarks {0, 4}: c(v) = reached / Σd, self-terms
+    excluded — e.g. c(2) = 2/(2+2) = 0.5, c(0) = 1/4 (only landmark 4)."""
+    from montecarlopagerank_spark.algos.bfs import closeness_centrality
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    lmk = spark.createDataFrame([(0,), (4,)], "v long")
+    c, info = closeness_centrality(spark, e, lmk, max_hops=6)
+    got = {r["v"]: (r["closeness"], r["reached"]) for r in c.collect()}
+    want = {
+        0: (1 / 4, 1),
+        1: (2 / (1 + 3), 2),
+        2: (2 / (2 + 2), 2),
+        3: (2 / (3 + 1), 2),
+        4: (1 / 4, 1),
+    }
+    assert set(got) == set(want)
+    for v, (x, r) in want.items():
+        assert got[v][0] == pytest.approx(x, abs=1e-12), f"vertex {v}"
+        assert got[v][1] == r, f"vertex {v} reached"
+
+
+def test_closeness_centrality_hop_cap_and_disconnection(spark):
+    """Hop cap truncates the landmark set per vertex (the reached column
+    says by how much); a vertex reaching no landmark is absent."""
+    from montecarlopagerank_spark.algos.bfs import closeness_centrality
+
+    # path 0-1-2-3-4 plus isolated pair 10-11
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    lmk = spark.createDataFrame([(0,)], "v long")
+    c, _ = closeness_centrality(spark, e, lmk, max_hops=2)
+    got = {r["v"]: (r["closeness"], r["reached"]) for r in c.collect()}
+    assert got == {1: (1.0, 1), 2: (0.5, 1)}  # 3,4 capped; 10,11 absent
