@@ -94,3 +94,59 @@ def common_neighbors_topk(
         .orderBy(F.desc("common"), F.asc("a"), F.asc("b"))
         .limit(k)
     )
+
+
+def adamic_adar_topk(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int = 50,
+    max_apex_degree: int = 64,
+) -> DataFrame:
+    """Top-k non-adjacent pairs by Adamic-Adar score
+    ``AA(a,b) = Σ_{w ∈ Γ(a)∩Γ(b)} 1/ln(deg(w))`` (Adamic & Adar,
+    "Friends and neighbors on the Web", Social Networks 2003) —
+    common-neighbor counting where low-degree mediators count more.
+
+    Same hub-capped wedge shape as :func:`common_neighbors_topk` (module
+    docstring: excluding super-hub apexes bounds the wedge join AND is
+    what 1/log weighting approximates anyway — a capped apex contributes
+    ≥ 1/ln(cap), an excluded hub would contribute ~0). Any mediating
+    apex has ≥2 distinct neighbours, so deg ≥ 2 and 1/ln(deg) is finite.
+    Returns ``(a, b, common:long, aa_r6:double)`` with ``a < b``, ordered
+    by (aa_r6 DESC, common DESC, a, b) — rounding before ordering keeps
+    the k-cut identical across engines despite float-sum order."""
+    und = undirected_edges(edges)
+    sym = und.select(F.col("x").alias("v"), F.col("y").alias("w")).unionByName(
+        und.select(F.col("y").alias("v"), F.col("x").alias("w"))
+    )
+    deg = sym.groupBy("v").agg(F.count("*").alias("deg"))
+    # deg >= 2: a degree-1 apex mediates no wedge anyway, and keeping it
+    # would evaluate 1/ln(1) (ANSI divide-by-zero) before the a<b filter
+    apex_nbrs = sym.withColumnRenamed("v", "apex").join(
+        deg.filter((F.col("deg") <= max_apex_degree) & (F.col("deg") >= 2))
+        .select(F.col("v").alias("apex"), (1.0 / F.log("deg")).alias("wt")),
+        "apex",
+    )
+    a_side = apex_nbrs.select("apex", "wt", F.col("w").alias("a"))
+    b_side = apex_nbrs.select("apex", F.col("w").alias("b"))
+    cand = (
+        a_side.join(b_side, "apex")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"), F.sum("wt").alias("aa"))
+    )
+    fresh = cand.join(
+        und.select(F.col("x").alias("a"), F.col("y").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    return (
+        fresh.select(
+            "a",
+            "b",
+            F.col("common").cast("long").alias("common"),
+            F.round("aa", 6).alias("aa_r6"),
+        )
+        .orderBy(F.desc("aa_r6"), F.desc("common"), F.asc("a"), F.asc("b"))
+        .limit(k)
+    )

@@ -1391,6 +1391,16 @@ def q_link_prediction_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
     return common_neighbors_topk(spark, e, k=50, max_apex_degree=64)
 
 
+def q_adamic_adar_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 predicted links by Adamic-Adar (Σ 1/ln(deg) over shared
+    capped-degree mediators, cap=64) — ordered by the ROUNDED score so
+    both engines take the identical k-cut despite float-sum order."""
+    from montecarlopagerank_spark.algos.linkpred import adamic_adar_topk
+
+    e = _string_edges(spark, sf_dir).select("src", "dst")
+    return adamic_adar_topk(spark, e, k=50, max_apex_degree=64)
+
+
 def q_k_core_2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of the transcript graph's undirected closure — every vertex
     with its in-core degree, hash-checked against the unrolled synchronous
@@ -2186,6 +2196,7 @@ QUERIES = {
     "triangle_count": q_triangle_count,
     "clustering_coefficient": q_clustering_coefficient,
     "link_prediction_top50": q_link_prediction_top50,
+    "adamic_adar_top50": q_adamic_adar_top50,
     "k_core_2": q_k_core_2,
     "pagerank_personalized_fixed": q_pagerank_personalized_fixed,
     "hits_fixed5": q_hits_fixed5,
@@ -2403,6 +2414,32 @@ SELECT f.a, f.b, CAST(f.common AS BIGINT) AS common,
              / (da.d + db.d - CAST(f.common AS DOUBLE)), 6) AS jaccard_r6
 FROM fresh f JOIN deg da ON f.a = da.v JOIN deg db ON f.b = db.v
 ORDER BY common DESC, a ASC, b ASC LIMIT 50
+""",
+    "adamic_adar_top50": f"""
+WITH {SQL_TEDGES[1:]},
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS x, GREATEST(src, dst) AS y
+  FROM tedges WHERE src <> dst
+),
+sym AS (SELECT x AS v, y AS w FROM und UNION ALL SELECT y, x FROM und),
+deg AS (SELECT v, COUNT(*) AS d FROM sym GROUP BY v),
+apexn AS (
+  SELECT s.v AS apex, s.w, 1.0 / ln(deg.d) AS wt
+  FROM sym s JOIN deg ON s.v = deg.v
+  WHERE deg.d <= 64 AND deg.d >= 2
+),
+cand AS (
+  SELECT l.w AS a, r.w AS b, COUNT(*) AS common, SUM(l.wt) AS aa
+  FROM apexn l JOIN apexn r ON l.apex = r.apex
+  WHERE l.w < r.w GROUP BY l.w, r.w
+),
+fresh AS (
+  SELECT c.* FROM cand c LEFT JOIN und e ON c.a = e.x AND c.b = e.y
+  WHERE e.x IS NULL
+)
+SELECT a, b, CAST(common AS BIGINT) AS common, ROUND(aa, 6) AS aa_r6
+FROM fresh
+ORDER BY aa_r6 DESC, common DESC, a ASC, b ASC LIMIT 50
 """,
     "token_stats": r"""
 SELECT doc_id,

@@ -106,3 +106,38 @@ def test_topk_cut_is_deterministic_total_order(spark):
     )
     got = rows(common_neighbors_topk(spark, e, k=1))
     assert got == {(0, 2, 2, 1.0)}
+
+
+def test_adamic_adar_square_with_pendant(spark):
+    """Cycle 0-1-2-3-0 plus pendant 0-4, closed-form AA scores."""
+    import math
+
+    from montecarlopagerank_spark.algos.linkpred import adamic_adar_topk
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0), (0, 4)], "src long, dst long"
+    )
+    got = {(r["a"], r["b"]): (r["common"], r["aa_r6"]) for r in
+           adamic_adar_topk(spark, e, k=50).collect()}
+    ln2, ln3 = math.log(2), math.log(3)
+    want = {
+        (0, 2): (2, round(2 / ln2, 6)),        # mediators 1, 3 (deg 2)
+        (1, 3): (2, round(1 / ln3 + 1 / ln2, 6)),  # mediators 0 (3), 2 (2)
+        (1, 4): (1, round(1 / ln3, 6)),        # mediator 0 (deg 3)
+        (3, 4): (1, round(1 / ln3, 6)),
+    }
+    assert got == want
+
+
+def test_adamic_adar_hub_cap_excludes_mediator(spark):
+    """A star hub above the cap mediates nothing; its leaves score 0
+    (absent), while a low-degree mediator still counts."""
+    from montecarlopagerank_spark.algos.linkpred import adamic_adar_topk
+
+    star = [(100, i) for i in range(10)]  # hub deg 10
+    extra = [(0, 50), (1, 50)]            # mediator 50 (deg 2) for (0,1)
+    e = spark.createDataFrame(star + extra, "src long, dst long")
+    got = {(r["a"], r["b"]) for r in
+           adamic_adar_topk(spark, e, k=500, max_apex_degree=5).collect()}
+    assert (0, 1) in got
+    assert not any(a >= 2 and b <= 9 for a, b in got if (a, b) != (0, 1))
