@@ -1607,6 +1607,22 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-entropy under the corpus's own MLE unigram LM
+    (pipeline/lmscore.py) — rounded to 6 for the hash compare (the
+    per-token ln terms are IEEE-identical; only the sum order differs
+    across engines, ~1e-15 noise under a 1e-6 rounding grid)."""
+    from montecarlopagerank_spark.pipeline.lmscore import unigram_lm_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = unigram_lm_scores(docs)
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        F.round("cross_entropy", 6).alias("cross_entropy_r6"),
+    )
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from montecarlopagerank_spark.pipeline.textstats import quality_score
 
@@ -2209,6 +2225,7 @@ QUERIES = {
     "node2vec_walks_tools": q_node2vec_walks_tools,
     "conductance_cc": q_conductance_cc,
     "token_stats": q_token_stats,
+    "unigram_lm": q_unigram_lm,
     "quality_score": q_quality_score,
     "langid_heuristic": q_langid_heuristic,
     "doc_fingerprint": q_doc_fingerprint,
@@ -2451,6 +2468,19 @@ SELECT doc_id,
          AS n_word_tokens,
        CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
 FROM documents
+""",
+    "unigram_lm": r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT SUM(c) AS t FROM cnt)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(ln(tot.t) - ln(cnt.c)), 6) AS cross_entropy_r6
+FROM toks JOIN cnt USING (tok), tot
+GROUP BY doc_id
 """,
     "quality_score": rf"""
 WITH t AS (

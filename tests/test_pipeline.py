@@ -363,3 +363,35 @@ def test_real_decode_spark_path(spark):
         real_decode(
             synthetic_real_media(spark, n=6, parts=2), fallback=False
         ).collect()
+
+
+def test_unigram_lm_closed_form(spark):
+    """Corpus 'a a b' + 'b c': p(a)=p(b)=2/5, p(c)=1/5; per-doc mean
+    -ln p matches hand arithmetic; perplexity = exp(ce)."""
+    import math
+
+    from montecarlopagerank_spark.pipeline.lmscore import unigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [("d1", "A a b!"), ("d2", "b, c"), ("d3", "...")],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r for r in unigram_lm_scores(docs).collect()}
+    assert set(got) == {"d1", "d2"}  # d3 has no tokens -> absent
+    ce1 = -(2 * math.log(0.4) + math.log(0.4)) / 3
+    ce2 = -(math.log(0.4) + math.log(0.2)) / 2
+    assert got["d1"]["n_tokens"] == 3
+    assert got["d1"]["cross_entropy"] == pytest.approx(ce1, rel=1e-12)
+    assert got["d2"]["cross_entropy"] == pytest.approx(ce2, rel=1e-12)
+    assert got["d2"]["perplexity"] == pytest.approx(math.exp(ce2), rel=1e-12)
+
+
+def test_unigram_lm_uniform_corpus(spark):
+    """All-distinct tokens: every doc's perplexity equals vocab size."""
+    from montecarlopagerank_spark.pipeline.lmscore import unigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [("d1", "w1 w2 w3"), ("d2", "w4 w5")], "doc_id string, text string"
+    )
+    for r in unigram_lm_scores(docs).collect():
+        assert r["perplexity"] == pytest.approx(5.0, rel=1e-12)
