@@ -597,6 +597,60 @@ SELECT v, ROUND(COUNT(*) * 1.0 / SUM(hops), 6) AS closeness_r6,
 FROM d{max_hops} WHERE hops > 0 GROUP BY v"""
 
 
+def _dedup_cluster_sql(rounds: int = 6) -> str:
+    """Twin of q_dedup_cluster_keep: the ngram_jaccard pair set at ≥0.5,
+    then ``rounds`` unrolled min-label + pointer-jump rounds (covers
+    component diameter 2^rounds — near-dup families are near-cliques,
+    so 6 is generous), then keep = (doc_id == min id of component)."""
+    parts = [
+        r"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, regexp_split_to_array(NORM_EXPR, '\s+') AS tk
+  FROM documents
+),
+sh AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(tk) >= 3
+                THEN [array_to_string(tk[i:i+2], ' ')
+                      for i in generate_series(1, len(tk) - 2)]
+                ELSE [array_to_string(tk, ' ')] END
+         ) AS shingles
+  FROM t
+),
+pairs AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / len(list_distinct(a.shingles || b.shingles)), 6) AS j
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  ) WHERE j >= 0.5
+),
+sym AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b AS u, a AS v FROM pairs
+),
+l0 AS MATERIALIZED (SELECT doc_id AS v, doc_id AS lbl FROM t)""".replace(
+            "NORM_EXPR", SQL_NORM
+        )
+    ]
+    for r in range(rounds):
+        parts.append(f""",
+a{r} AS MATERIALIZED (
+  SELECT l.v, least(l.lbl, COALESCE(MIN(n.lbl), l.lbl)) AS lbl
+  FROM l{r} l
+  LEFT JOIN sym s ON s.u = l.v
+  LEFT JOIN l{r} n ON n.v = s.v
+  GROUP BY l.v, l.lbl
+),
+l{r + 1} AS MATERIALIZED (
+  SELECT a.v, COALESCE(p.lbl, a.lbl) AS lbl
+  FROM a{r} a LEFT JOIN a{r} p ON p.v = a.lbl
+)""")
+    parts.append(f"""
+SELECT v AS doc_id, lbl AS cluster_id, v = lbl AS keep FROM l{rounds}""")
+    return "".join(parts)
+
+
 def _kcore_sql(k: int, rounds: int) -> str:
     """Synchronous k-core peeling unrolled to ``rounds`` removal rounds —
     the exact relational twin of algos/kcore.py (per round: degrees over
@@ -1677,6 +1731,28 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard(docs, pairs)
 
 
+def q_dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → clusters → keep-list (pipeline/dedup.py dedup_clusters):
+    exact 3-gram Jaccard ≥ 0.5 pairs over the whole corpus (the exact
+    pair set is used here FOR oracle-ability, like
+    embedding_near_dup_exact — production feeds minhash_dedup_pairs in),
+    clustered by the graph engine's connected components; one min-id
+    survivor per cluster. Twin: the ngram_jaccard SQL + 6 unrolled
+    min-label + pointer-jump rounds."""
+    from montecarlopagerank_spark.pipeline.dedup import (
+        dedup_clusters,
+        ngram_jaccard,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select("doc_id")
+    cand = ids.select(F.col("doc_id").alias("a")).join(
+        ids.select(F.col("doc_id").alias("b")), F.col("a") < F.col("b")
+    )
+    pairs = ngram_jaccard(docs, cand).filter(F.col("jaccard") >= 0.5)
+    return dedup_clusters(spark, docs, pairs)
+
+
 def q_simhash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """max_hamming=7 with the default 8 bands of 8 bits: pigeonhole
     guarantees every qualifying pair shares a band (recall = 1.0 by
@@ -2232,6 +2308,7 @@ QUERIES = {
     "exact_dedup_groups": q_exact_dedup_groups,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "dedup_cluster_keep": q_dedup_cluster_keep,
     "simhash_near_dupes": q_simhash_near_dupes,
     "embedding_dim_stats": q_embedding_dim_stats,
     "pca_project_embeddings": q_pca_project_embeddings,
@@ -2558,6 +2635,7 @@ SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
 FROM (SELECT doc_id, md5({SQL_NORM}) AS k FROM documents) g
 GROUP BY k
 """,
+    "dedup_cluster_keep": _dedup_cluster_sql(6),
     "ngram_jaccard_pairs": rf"""
 WITH t AS (
   SELECT doc_id, regexp_split_to_array({SQL_NORM}, '\s+') AS tk

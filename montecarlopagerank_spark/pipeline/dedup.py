@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -337,4 +337,47 @@ def simhash_near_dupes(
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def dedup_clusters(
+    spark: SparkSession,
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs → clusters → keep-list: the step that actually
+    DROPS duplicates. ``pairs(a, b)`` from any detector above
+    (minhash_dedup_pairs, simhash_near_dupes, ngram_jaccard ≥ threshold,
+    embedding_near_dupes) is a similarity graph; near-duplication is not
+    transitive, but production dedup treats its transitive closure as
+    the duplicate cluster anyway (MinHash dedup in Brown et al. 2020
+    appx A; Penedo et al. 2023 RefinedWeb §3.3 both cluster-then-keep-
+    one) — chains of pairwise near-dups are one boilerplate family.
+
+    Clusters come from the graph half of this engine:
+    :func:`~montecarlopagerank_spark.algos.components.connected_components`
+    (small-star/large-star — O(log n) rounds at any scale, no driver-side
+    union-find). cluster_id = min doc id of the component; ``keep`` =
+    this doc IS that minimum (exactly one survivor per cluster,
+    deterministic). Docs in no pair are their own singleton cluster,
+    keep = true. Output: ``(doc_id, cluster_id, keep:boolean)`` —
+    filter ``keep`` to materialize the deduplicated corpus.
+    """
+    from montecarlopagerank_spark.algos.components import connected_components
+
+    e = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    labels = connected_components(spark, e)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(
+            labels.withColumnRenamed("v", "doc_id").hint("shuffle_hash"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
     )

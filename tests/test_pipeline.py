@@ -395,3 +395,34 @@ def test_unigram_lm_uniform_corpus(spark):
     )
     for r in unigram_lm_scores(docs).collect():
         assert r["perplexity"] == pytest.approx(5.0, rel=1e-12)
+
+
+def test_dedup_clusters_chain_and_singletons(spark):
+    """Pairs (1,2),(2,3) chain into ONE cluster with min-id survivor;
+    untouched docs are their own singleton cluster, keep=true."""
+    from montecarlopagerank_spark.pipeline.dedup import dedup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    pairs = spark.createDataFrame([(2, 1), (2, 3), (5, 6)], "a long, b long")
+    got = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in
+           dedup_clusters(spark, docs, pairs).collect()}
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        4: (4, True), 5: (5, True), 6: (5, False),
+    }
+
+
+def test_dedup_clusters_keep_filter_is_exact_dedup_on_clique(spark):
+    """On a clique of pairs, exactly one survivor remains."""
+    import itertools
+
+    from montecarlopagerank_spark.pipeline.dedup import dedup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(10, 15)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in itertools.combinations(range(10, 15), 2)],
+        "a long, b long",
+    )
+    kept = [r["doc_id"] for r in
+            dedup_clusters(spark, docs, pairs).filter("keep").collect()]
+    assert kept == [10]
