@@ -200,6 +200,14 @@ def main() -> None:
     with timed("minhash_dedup"):
         minhash_dedup_pairs(docs, jaccard_threshold=0.5).count()
 
+    with timed("dedup_clusters"):
+        from montecarlopagerank_spark.pipeline.dedup import dedup_clusters
+
+        pairs = minhash_dedup_pairs(docs, jaccard_threshold=0.5)
+        extra["dedup_kept"] = (
+            dedup_clusters(spark, docs, pairs).filter("keep").count()
+        )
+
     with timed("text_stats"):
         token_stats(docs).agg(F.sum("n_tokens")).collect()
         quality_score(docs).agg(F.avg("quality")).collect()

@@ -1661,6 +1661,16 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_turn_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per role-transition turn-gap profile (pipeline/temporal.py
+    turn_latency) — µs-exact gaps, exact interpolated percentiles
+    (percentile ↔ quantile_cont identity, as in degree_quantiles)."""
+    from montecarlopagerank_spark.pipeline.temporal import turn_latency
+
+    ts = transcripts_from_events(spark, sf_dir)
+    return turn_latency(ts)
+
+
 def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc cross-entropy under the corpus's own MLE unigram LM
     (pipeline/lmscore.py) — rounded to 6 for the hash compare (the
@@ -1827,10 +1837,11 @@ def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode (rows-only: numpy features have no SQL twin).
-    Image/audio blobs are VALID BMP/WAV files and get REALLY decoded
-    (header parse → pixel/sample arrays → content features,
-    pipeline/multimodal.py::real_decode); video blobs fall back to the
-    deterministic fake feature, marked decoder='fake' — never silent."""
+    Image/audio blobs are VALID BMP/PNG/WAV files and get REALLY decoded
+    (parse → pixel/sample arrays → content features; PNG inflates via
+    stdlib zlib — pipeline/multimodal.py::real_decode); video blobs fall
+    back to the deterministic fake feature, marked decoder='fake' —
+    never silent."""
     from montecarlopagerank_spark.pipeline.multimodal import (
         real_decode,
         synthetic_real_media,
@@ -2302,6 +2313,7 @@ QUERIES = {
     "conductance_cc": q_conductance_cc,
     "token_stats": q_token_stats,
     "unigram_lm": q_unigram_lm,
+    "turn_latency": q_turn_latency,
     "quality_score": q_quality_score,
     "langid_heuristic": q_langid_heuristic,
     "doc_fingerprint": q_doc_fingerprint,
@@ -2545,6 +2557,23 @@ SELECT doc_id,
          AS n_word_tokens,
        CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
 FROM documents
+""",
+    "turn_latency": f"""
+WITH {SQL_TURNS[1:]},
+g AS (
+  SELECT conv_id, role,
+         LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS prev_role,
+         epoch_us(ts) - LAG(epoch_us(ts))
+           OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap_us
+  FROM turns
+)
+SELECT prev_role, role, COUNT(*) AS n,
+       ROUND(AVG(gap_us), 6) AS mean_us,
+       quantile_cont(gap_us, 0.5) AS p50_us,
+       quantile_cont(gap_us, 0.95) AS p95_us
+FROM g WHERE prev_role IS NOT NULL
+GROUP BY prev_role, role
 """,
     "unigram_lm": r"""
 WITH toks AS (

@@ -1,10 +1,11 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-Formats with pure-numpy codecs — **BMP (24-bpp) and WAV (PCM16)** — are
-REALLY decoded (``real_decode``: header parse → pixel/sample arrays →
+Formats with pure-stdlib codecs — **BMP (24-bpp), PNG (8-bit truecolor,
+inflated via stdlib zlib, all five scanline filters), and WAV (PCM16)**
+— are REALLY decoded (``real_decode``: parse → pixel/sample arrays →
 content features; encoders included for fixtures). Formats that need
-external decode libraries (PNG/JPEG/MP4 — PIL/librosa are not in this
+external decode libraries (JPEG/MP4 — PIL/librosa are not in this
 container) stay stubbed: ``decode_stub`` raises, ``fake_decode`` produces
 deterministic hash-derived features with the real batch shape. Every
 piece of Spark-side plumbing is real and tested either way: the schema,
@@ -23,6 +24,7 @@ low enough that one task's batch of blobs fits the Arrow batch budget;
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -115,6 +117,106 @@ def decode_bmp(content: bytes) -> np.ndarray:
     return rows[:, :, ::-1].copy()  # BGR → RGB
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → a valid 8-bit truecolor non-interlaced PNG
+    (filter 0 per scanline; stdlib zlib deflate — no PIL needed)."""
+    h, w = pixels.shape[:2]
+    raw = b"".join(b"\x00" + pixels[r].tobytes() for r in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(f: int, line: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    """One scanline of PNG filter reconstruction (spec §9: None/Sub/Up/
+    Average/Paeth). None/Up are vectorized (all our encoder emits);
+    Sub/Average/Paeth recurse on the reconstructed left byte so they run
+    a per-byte loop — fine for the small media this container decodes."""
+    if f == 0:
+        return line.astype(np.uint8)
+    if f == 2:
+        return ((line + prev) & 0xFF).astype(np.uint8)
+    out = np.empty(len(line), dtype=np.int64)
+    if f == 1:  # Sub
+        out[:bpp] = line[:bpp]
+        for i in range(bpp, len(line)):
+            out[i] = (line[i] + out[i - bpp]) & 0xFF
+    elif f == 3:  # Average
+        for i in range(len(line)):
+            a = out[i - bpp] if i >= bpp else 0
+            out[i] = (line[i] + (a + int(prev[i])) // 2) & 0xFF
+    elif f == 4:  # Paeth
+        for i in range(len(line)):
+            a = int(out[i - bpp]) if i >= bpp else 0
+            c = int(prev[i - bpp]) if i >= bpp else 0
+            b = int(prev[i])
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[i] = (line[i] + pr) & 0xFF
+    else:
+        raise ValueError(f"unknown PNG filter type {f}")
+    return out.astype(np.uint8)
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """8-bit truecolor (RGB/RGBA) non-interlaced PNG bytes → (h, w, 3|4)
+    uint8. Full scanline-filter support; stdlib zlib inflate."""
+    if content[:8] != PNG_SIG:
+        raise ValueError("not a PNG file (missing signature)")
+    pos, idat, dims = 8, [], None
+    while pos + 8 <= len(content):
+        (ln,) = struct.unpack_from(">I", content, pos)
+        typ = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            w, h, bit, color, comp, filt, inter = struct.unpack(">IIBBBBB", data)
+            if bit != 8 or color not in (2, 6) or comp or filt or inter:
+                raise ValueError(
+                    "only 8-bit truecolor non-interlaced PNG supported "
+                    f"(bit={bit}, color={color}, interlace={inter})"
+                )
+            dims = (h, w, 3 if color == 2 else 4)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if dims is None:
+        raise ValueError("PNG missing IHDR chunk")
+    h, w, ch = dims
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        off = r * (stride + 1)
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=off + 1
+        ).astype(np.int64)
+        out[r] = _png_unfilter(raw[off], line, prev, ch)
+        prev = out[r].astype(np.int64)
+    return out.reshape(h, w, ch)
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     """int16 mono PCM samples → a valid RIFF/WAVE file."""
     data = np.ascontiguousarray(samples, dtype="<i2").tobytes()
@@ -153,9 +255,19 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
 
 
 def _bmp_feature(content: bytes) -> np.ndarray:
+    return _image_feature(decode_bmp(content))
+
+
+def _png_feature(content: bytes) -> np.ndarray:
+    # RGBA → RGB: alpha dropped for the shared feature (documented; the
+    # luminance/stat feature is defined on color planes only)
+    return _image_feature(decode_png(content)[:, :, :3])
+
+
+def _image_feature(px: np.ndarray) -> np.ndarray:
     """Real image feature (FEATURE_DIM): [log1p(w), log1p(h), per-channel
     mean/std (RGB, /255), 8-bin luminance histogram (density)]."""
-    px = decode_bmp(content).astype(np.float64)
+    px = px.astype(np.float64)
     h, w = px.shape[:2]
     lum = px @ np.array([0.299, 0.587, 0.114])
     hist, _ = np.histogram(lum, bins=8, range=(0.0, 255.0))
@@ -195,9 +307,12 @@ def _wav_feature(content: bytes) -> np.ndarray:
 
 
 def sniff_kind(content: bytes) -> str | None:
-    """'bmp' / 'wav' by magic bytes, else None (undecodable here)."""
+    """'bmp' / 'png' / 'wav' by magic bytes, else None (undecodable
+    here)."""
     if content[:2] == b"BM":
         return "bmp"
+    if content[:8] == PNG_SIG:
+        return "png"
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return "wav"
     return None
@@ -210,12 +325,13 @@ REAL_FEATURE_SCHEMA = (
 
 
 def real_decode(media: DataFrame, fallback: bool = True) -> DataFrame:
-    """Feature extraction with REAL decoding where a pure-numpy codec
-    exists: blobs are sniffed by magic bytes — BMP/WAV rows get header-
-    parsed, content-derived features; anything else falls back to the
-    deterministic ``_fake_feature`` (``fallback=True``, ``decoder='fake'``
-    marks them — never silent) or raises (``fallback=False``), since
-    PNG/JPEG/MP4 decoding needs libraries absent from this container."""
+    """Feature extraction with REAL decoding where a pure-stdlib codec
+    exists: blobs are sniffed by magic bytes — BMP/PNG/WAV rows get
+    parsed, content-derived features (PNG inflates via stdlib zlib);
+    anything else falls back to the deterministic ``_fake_feature``
+    (``fallback=True``, ``decoder='fake'`` marks them — never silent) or
+    raises (``fallback=False``), since JPEG/MP4 decoding needs libraries
+    absent from this container."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -224,6 +340,8 @@ def real_decode(media: DataFrame, fallback: bool = True) -> DataFrame:
                 k = sniff_kind(c)
                 if k == "bmp":
                     feats.append(_bmp_feature(c))
+                elif k == "png":
+                    feats.append(_png_feature(c))
                 elif k == "wav":
                     feats.append(_wav_feature(c))
                 elif fallback:
@@ -231,7 +349,8 @@ def real_decode(media: DataFrame, fallback: bool = True) -> DataFrame:
                     k = "fake"
                 else:
                     raise NotImplementedError(
-                        "no pure-numpy decoder for this blob (not BMP/WAV); "
+                        "no pure-stdlib decoder for this blob "
+                        "(not BMP/PNG/WAV); "
                         "PIL/librosa are unavailable in this container"
                     )
                 decoders.append(k)
@@ -266,8 +385,11 @@ def synthetic_real_media(
                 if kind == "image":
                     w, h = int(rng.integers(4, 48)), int(rng.integers(4, 48))
                     px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-                    content = encode_bmp(px)
-                    meta = (w, h, None, None, "image/bmp")
+                    if int(mid) % 2 == 0:  # alternate the two real codecs
+                        content, mime = encode_bmp(px), "image/bmp"
+                    else:
+                        content, mime = encode_png(px), "image/png"
+                    meta = (w, h, None, None, mime)
                 elif kind == "audio":
                     sr = 8000
                     ns = int(rng.integers(256, 4096))

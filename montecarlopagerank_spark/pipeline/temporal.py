@@ -181,3 +181,38 @@ def range_join_count(
             F.coalesce("n_nearby", F.lit(0)).alias("n_nearby"),
         )
     )
+
+
+def turn_latency(transcripts: DataFrame) -> DataFrame:
+    """Per role-transition response-latency profile over a transcripts
+    table ``(conv_id, turn_idx, role, ts)``: for every consecutive turn
+    pair within a conversation, the gap in int64 microseconds, grouped
+    by ``(prev_role → role)`` — "how long does the assistant take to
+    answer a user turn" and its siblings, the first operational question
+    asked of a transcript corpus.
+
+    Output: ``(prev_role, role, n:long, mean_us, p50_us, p95_us)`` with
+    exact interpolated percentiles (same ``percentile`` ↔
+    ``quantile_cont`` identity the degree-quantiles oracle pins; at
+    10^12 turns swap in ``approx_percentile`` — one pass, no per-group
+    sort — exactly as documented there). Shape: one window shuffle on
+    conv_id + one tiny (|roles|²-key, map-side-combined) aggregate.
+    Ordering inside a conversation is ``turn_idx`` (the table's stable
+    order), so gaps are deterministic even under ts ties."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    us = _us("ts")
+    g = (
+        transcripts.select(
+            "conv_id",
+            "role",
+            F.lag("role").over(w).alias("prev_role"),
+            (us - F.lag(us).over(w)).alias("gap_us"),
+        )
+        .filter(F.col("prev_role").isNotNull())
+    )
+    return g.groupBy("prev_role", "role").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("gap_us"), 6).alias("mean_us"),
+        F.percentile("gap_us", F.lit(0.5)).alias("p50_us"),
+        F.percentile("gap_us", F.lit(0.95)).alias("p95_us"),
+    )

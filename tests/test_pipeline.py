@@ -317,6 +317,64 @@ def test_bmp_wav_codecs_roundtrip():
     assert np.allclose(got, samples.astype(np.float64) / 32768.0)
 
 
+def test_png_codec_roundtrip_and_all_filters():
+    """encode_png → decode_png is the identity; decode_png reconstructs
+    every PNG scanline filter type (hand-filtered raw stream so Sub/
+    Average/Paeth paths are exercised, not just our filter-0 encoder)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from montecarlopagerank_spark.pipeline import multimodal as mm
+
+    rng = np.random.default_rng(7)
+    for w, h in [(1, 1), (3, 2), (5, 7), (16, 16)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(mm.decode_png(mm.encode_png(px)), px), (w, h)
+
+    # hand-build a 5-row RGB PNG using filters 0..4 (one per row)
+    px = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8).astype(np.int64)
+    bpp, stride = 3, 18
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for r, f in enumerate([0, 1, 2, 3, 4]):
+        cur = px[r].reshape(-1)
+        left = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int64), prev[:-bpp]])
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            enc = cur - (left + prev) // 2
+        else:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = cur - pred
+        raw += bytes([f]) + (enc & 0xFF).astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", 6, 5, 8, 2, 0, 0, 0)
+    blob = (
+        mm.PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(mm.decode_png(blob), px.astype(np.uint8))
+    # and the shared image feature is decoder-agnostic: same pixels,
+    # same feature through BMP and PNG
+    q = rng.integers(0, 256, size=(9, 4, 3), dtype=np.uint8)
+    fb = mm._bmp_feature(mm.encode_bmp(q))
+    fp = mm._png_feature(mm.encode_png(q))
+    assert np.array_equal(fb, fp)
+
+
 def test_real_decode_known_features():
     """Real features from known content: a solid-colour BMP has exact
     channel means/zero stds; a 0.5-amplitude sine WAV has rms ~0.5/sqrt(2)
@@ -351,15 +409,21 @@ def test_real_decode_spark_path(spark):
 
     rows = real_decode(synthetic_real_media(spark, n=24, parts=3)).collect()
     assert len(rows) == 24
-    by_kind = {r["kind"]: r["decoder"] for r in rows}
-    assert by_kind == {"image": "bmp", "audio": "wav", "video": "fake"}
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r["kind"], set()).add(r["decoder"])
+    assert by_kind == {
+        "image": {"bmp", "png"},  # fixtures alternate the two real codecs
+        "audio": {"wav"},
+        "video": {"fake"},
+    }
     assert all(len(r["feature"]) == 16 for r in rows)
     rows2 = real_decode(synthetic_real_media(spark, n=24, parts=5)).collect()
     d1 = {r["media_id"]: list(r["feature"]) for r in rows}
     d2 = {r["media_id"]: list(r["feature"]) for r in rows2}
     assert d1 == d2
-    # strict mode refuses blobs with no numpy codec (the video fakes)
-    with pytest.raises(Exception, match="NotImplementedError|no pure-numpy"):
+    # strict mode refuses blobs with no stdlib codec (the video fakes)
+    with pytest.raises(Exception, match="NotImplementedError|no pure-stdlib"):
         real_decode(
             synthetic_real_media(spark, n=6, parts=2), fallback=False
         ).collect()

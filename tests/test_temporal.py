@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import random
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from montecarlopagerank_spark.pipeline.temporal import (
@@ -140,3 +142,34 @@ def test_range_join_count_randomized_vs_naive(spark):
     ).collect()
     got = {x.id: x.n_nearby for x in out}
     assert got == range_naive(rows, rows, 25)
+
+
+def test_turn_latency_closed_form(spark):
+    """Two convs with known µs gaps; percentile interpolation exact."""
+    from datetime import datetime
+
+    from montecarlopagerank_spark.pipeline.temporal import turn_latency
+
+    def t(s):
+        return datetime(2026, 1, 1, 0, 0, s)
+
+    rows = [
+        # conv A: user@0 -> assistant@2 -> user@3
+        ("A", 0, "user", t(0)), ("A", 1, "assistant", t(2)),
+        ("A", 2, "user", t(3)),
+        # conv B: user@0 -> assistant@6
+        ("B", 0, "user", t(0)), ("B", 1, "assistant", t(6)),
+    ]
+    ts = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts timestamp"
+    )
+    got = {(r["prev_role"], r["role"]): r for r in turn_latency(ts).collect()}
+    ua = got[("user", "assistant")]
+    # gaps 2s and 6s -> mean 4s, p50 = 4s, p95 = 2 + 0.95*4 = 5.8s
+    assert ua["n"] == 2
+    assert ua["mean_us"] == 4_000_000.0
+    assert ua["p50_us"] == 4_000_000.0
+    assert ua["p95_us"] == pytest.approx(5_800_000.0)
+    au = got[("assistant", "user")]
+    assert (au["n"], au["mean_us"], au["p50_us"]) == (1, 1_000_000.0, 1_000_000.0)
+    assert len(got) == 2  # no other transitions
