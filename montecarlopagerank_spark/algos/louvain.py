@@ -185,6 +185,17 @@ def louvain(
     info: dict[str, Any] = {"levels": 0, "moves": [], "n_communities": None}
 
     for level in range(max_levels):
+        # Pinned by u (the groupBy-degree key), NOT by w (the loop's join
+        # key), deliberately: the per-round sym ⋈ labels-on-w join then
+        # re-exchanges sym — but that fresh exchange is what lets AQE
+        # skew-SPLIT the mega-hub w-partitions (role#/tool# vertices hold
+        # a large share of E). Pinning by w avoids the exchange but bakes
+        # the skew into the cache where AQE cannot split it: measured
+        # 4.2× slower at sf0.1 (48s → 202s, one straggler task/round).
+        # (Also measured: restricting k_{v,C} scoring to the round's
+        # md5-parity movers — identical output, but A/B timings were
+        # noise-dominated with a 2× outlier, so the simpler full-score
+        # round is kept.)
         sym_p = sym.repartition(n_parts, "u").persist(StorageLevel.MEMORY_AND_DISK)
         kdeg = sym_p.groupBy(F.col("u").alias("v")).agg(F.sum("wt").alias("k"))
         if selfw is not None:
