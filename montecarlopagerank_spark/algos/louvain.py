@@ -15,10 +15,18 @@ possible, and what a resumable 10^12-edge run needs):
 
 - classic Louvain scans vertices in arbitrary sequential order; a
   synchronous variant oscillates when two adjacent vertices swap into
-  each other's community forever. The standard distributed fix is a
-  fixed 2-colouring: round ``r`` lets only vertices with
-  ``md5-parity == r % 2`` move (Prat-Pérez et al.; GraphX/Gelly Louvain
-  ports do the same). Deterministic, engine-independent, no RNG state.
+  each other's community forever. Random 2-colourings (GraphX/Gelly
+  Louvain ports gate movers on a hash parity) only stop swaps across
+  colour classes — two SAME-colour neighbours still swap every round
+  (measured: two parity-0 singletons exchanging labels forever, never
+  merging). The fix here is an ALTERNATING DIRECTION rule instead:
+  round ``r`` admits only moves to a community label ``c < cv`` when
+  ``r`` is even, ``c > cv`` when odd (filter first, then argmax). A
+  single-round swap needs one label-increasing and one label-decreasing
+  move, so swaps are impossible for EVERY pair — the same
+  smaller-label-wins symmetry break as the small-star rule in
+  algos/components.py. Deterministic, engine-independent, no RNG, no
+  hash.
 - every aggregate feeding a decision (k_v, k_{v,C}, Σtot, 2m) is an
   exact LONG; the gain comparison happens in doubles DERIVED from those
   longs with a fixed expression shape, so Spark and DuckDB compute
@@ -50,17 +58,6 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from montecarlopagerank_spark.operators.state import StateStore
-
-
-def _parity(col: F.Column) -> F.Column:
-    """First 32 md5 bits mod 2 — the fixed 2-colouring that gates which
-    vertices may move each round (engine-independent: DuckDB computes
-    the identical value from the identical md5 hex). Hashes the DECIMAL
-    STRING form so long and string vertex ids agree across engines."""
-    return (
-        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
-        % 2
-    )
 
 
 def _local_moves(
@@ -116,28 +113,31 @@ def _local_moves(
                 ).alias("score"),
             )
         )
-        best = scored.groupBy("v").agg(
-            F.min(F.struct((-F.col("score")).alias("ns"), F.col("c"))).alias("b"),
-            F.max(F.when(F.col("c") == F.col("cv"), F.col("score"))).alias(
-                "stay"
-            ),
-            F.first("cv").alias("cv"),
+        # Direction filter BEFORE the argmax (module docstring): the stay
+        # row always survives, so `stay` is defined for every vertex.
+        direction = (
+            F.col("c") < F.col("cv") if r % 2 == 0 else F.col("c") > F.col("cv")
+        )
+        best = (
+            scored.filter((F.col("c") == F.col("cv")) | direction)
+            .groupBy("v")
+            .agg(
+                F.min(
+                    F.struct((-F.col("score")).alias("ns"), F.col("c"))
+                ).alias("b"),
+                F.max(F.when(F.col("c") == F.col("cv"), F.col("score"))).alias(
+                    "stay"
+                ),
+                F.first("cv").alias("cv"),
+            )
         )
         obs = Observation(f"louvain_mv_{r}")
         nxt = best.select(
             "v",
-            F.when(
-                (_parity(F.col("v")) == F.lit(r % 2))
-                & (-F.col("b.ns") > F.col("stay")),
-                F.col("b.c"),
-            )
+            F.when(-F.col("b.ns") > F.col("stay"), F.col("b.c"))
             .otherwise(F.col("cv"))
             .alias("c"),
-            (
-                (_parity(F.col("v")) == F.lit(r % 2))
-                & (-F.col("b.ns") > F.col("stay"))
-                & (F.col("b.c") != F.col("cv"))
-            )
+            ((-F.col("b.ns") > F.col("stay")) & (F.col("b.c") != F.col("cv")))
             .cast("long")
             .alias("moved"),
         ).observe(obs, F.sum("moved").alias("mv"))
@@ -154,6 +154,7 @@ def louvain(
     rounds_per_level: int = 6,
     max_levels: int = 3,
     n_partitions: int | None = None,
+    weight_col: str | None = None,
 ) -> tuple[DataFrame, dict[str, Any]]:
     """``edges(src, dst)`` → (``assign(v, community)``, info).
 
@@ -162,22 +163,33 @@ def louvain(
     algos/modularity.py, so ``modularity(edges, assign)`` scores the
     result directly. Community ids are vertex ids (the adopted
     neighbour's community label), stable across levels.
+
+    ``weight_col`` (optional) makes level 0 weighted: parallel (x, y)
+    pairs sum their weights, exactly the contracted-level convention.
+    Weights must be INTEGRAL (cast to long) — every decision aggregate
+    (k_v, k_{v,C}, Σtot, 2m) stays an exact LONG, which is what makes
+    the gain comparison engine-independent (module docstring). The
+    natural weighted input here is count-weighted graphs like the
+    co-occurrence projection's ``(a, b, weight)`` tool-co-usage output;
+    for fractional weights, pre-scale to a fixed-point long.
     """
     t0 = time.time()
     n_parts = int(n_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
     store = StateStore(spark)
 
-    und = (
-        edges.filter(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("y")
-        )
-        .distinct()
+    base = edges.filter(F.col("src") != F.col("dst")).select(
+        F.least("src", "dst").alias("x"),
+        F.greatest("src", "dst").alias("y"),
+        (
+            F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+        ).alias("wt"),
     )
-    sym = (
-        und.select(F.col("x").alias("u"), F.col("y").alias("w"))
-        .unionByName(und.select(F.col("y").alias("u"), F.col("x").alias("w")))
-        .select("u", "w", F.lit(1).cast("long").alias("wt"))
+    if weight_col:
+        und = base.groupBy("x", "y").agg(F.sum("wt").alias("wt"))
+    else:
+        und = base.distinct()
+    sym = und.select(F.col("x").alias("u"), F.col("y").alias("w"), "wt").unionByName(
+        und.select(F.col("y").alias("u"), F.col("x").alias("w"), "wt")
     )
     selfw = None  # level-0 has no self-loops; contracted levels do
 
@@ -192,10 +204,10 @@ def louvain(
         # a large share of E). Pinning by w avoids the exchange but bakes
         # the skew into the cache where AQE cannot split it: measured
         # 4.2× slower at sf0.1 (48s → 202s, one straggler task/round).
-        # (Also measured: restricting k_{v,C} scoring to the round's
-        # md5-parity movers — identical output, but A/B timings were
-        # noise-dominated with a 2× outlier, so the simpler full-score
-        # round is kept.)
+        # (Also measured, under the earlier parity-gated rule:
+        # restricting k_{v,C} scoring to the round's movers — identical
+        # output, but A/B timings were noise-dominated with a 2×
+        # outlier, so the simpler full-score round is kept.)
         sym_p = sym.repartition(n_parts, "u").persist(StorageLevel.MEMORY_AND_DISK)
         kdeg = sym_p.groupBy(F.col("u").alias("v")).agg(F.sum("wt").alias("k"))
         if selfw is not None:

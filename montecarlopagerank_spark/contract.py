@@ -773,8 +773,10 @@ FROM k{iters}""")
 
 
 def _louvain_sql(rounds: int) -> str:
-    """Single-level synchronous gated Louvain twin (algos/louvain.py):
-    md5-parity move gating, exact-LONG aggregates, double gain scores
+    """Single-level synchronous Louvain twin (algos/louvain.py):
+    direction-alternating moves (even round → smaller community labels
+    only, odd → larger; filter before argmax, so single-round label
+    swaps are impossible), exact-LONG aggregates, double gain scores
     with the identical expression shape (IEEE ops on identical operands
     are bit-equal across engines), smallest-community tie break, strict
     improvement. Emits the community size histogram after ``rounds``
@@ -819,14 +821,11 @@ sc{r} AS (
 rk{r} AS (
   SELECT v, c, cv, score,
          ROW_NUMBER() OVER (PARTITION BY v ORDER BY score DESC, c ASC) AS rn
-  FROM sc{r}
+  FROM sc{r} WHERE c = cv OR c {"<" if r % 2 == 0 else ">"} cv
 ),
 lab{r + 1} AS MATERIALIZED (
   SELECT b.v,
-         CASE WHEN (('0x' || substr(md5(CAST(b.v AS VARCHAR)), 1, 8))::UBIGINT
-                    % 2) = {r % 2}
-                   AND b.score > s.score
-              THEN b.c ELSE b.cv END AS c
+         CASE WHEN b.score > s.score THEN b.c ELSE b.cv END AS c
   FROM (SELECT * FROM rk{r} WHERE rn = 1) b
   JOIN (SELECT v, score FROM sc{r} WHERE c = cv) s USING (v)
 )""")
@@ -1687,6 +1686,19 @@ def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary summary (pipeline/textstats.py
+    corpus_vocab_stats) — the EXACT columns only; the HLL approx column
+    is engine-specific (sketch internals differ) and is pinned by a
+    pytest band instead."""
+    from montecarlopagerank_spark.pipeline.textstats import corpus_vocab_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_vocab_stats(docs).select(
+        "n_docs", "total_tokens", "n_distinct", "ttr_r6"
+    )
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from montecarlopagerank_spark.pipeline.textstats import quality_score
 
@@ -2084,8 +2096,9 @@ def _community_size_hist(assign: DataFrame) -> DataFrame:
 
 def q_louvain_level1_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community size histogram after ONE Louvain level (6 synchronous
-    md5-parity-gated local-move rounds, no contraction, algos/louvain.py)
-    — hash-checked against the unrolled twin _louvain_sql(6)."""
+    direction-alternating local-move rounds, no contraction,
+    algos/louvain.py) — hash-checked against the unrolled twin
+    _louvain_sql(6)."""
     from montecarlopagerank_spark.algos.louvain import louvain
 
     e = _string_edges(spark, sf_dir).select("src", "dst")
@@ -2314,6 +2327,7 @@ QUERIES = {
     "token_stats": q_token_stats,
     "unigram_lm": q_unigram_lm,
     "turn_latency": q_turn_latency,
+    "vocab_stats": q_vocab_stats,
     "quality_score": q_quality_score,
     "langid_heuristic": q_langid_heuristic,
     "doc_fingerprint": q_doc_fingerprint,
@@ -2574,6 +2588,17 @@ SELECT prev_role, role, COUNT(*) AS n,
        quantile_cont(gap_us, 0.95) AS p95_us
 FROM g WHERE prev_role IS NOT NULL
 GROUP BY prev_role, role
+""",
+    "vocab_stats": r"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+)
+SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+       COUNT(*) AS total_tokens,
+       COUNT(DISTINCT tok) AS n_distinct,
+       ROUND(CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*), 6) AS ttr_r6
+FROM toks
 """,
     "unigram_lm": r"""
 WITH toks AS (

@@ -134,3 +134,40 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
         F.md5(normalized_text(F.col("text")).cast("binary")).alias("md5_norm"),
         rolling.alias("rolling_hash"),
     )
+
+
+def corpus_vocab_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """ONE-row corpus vocabulary summary: document count, total token
+    count, exact distinct-token count, approximate distinct-token count,
+    and the type-token ratio. Tokens are lowercased ``[a-z0-9]+`` runs
+    (the unigram-LM convention, pipeline/lmscore.py).
+
+    Scale story: ``n_distinct`` is an exact distinct — one shuffle of the
+    token stream, the small-SF oracle path. ``n_distinct_approx`` is
+    Spark's HyperLogLog++ ``approx_count_distinct`` (rsd 1%) — NO shuffle
+    of distinct tokens, just fixed-size sketches merged map-side; at a
+    10^11-token corpus that is the only viable vocabulary counter (same
+    sketch family the HyperANF operator builds per vertex). The pytest
+    band pins the sketch within 3·rsd of exact."""
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(r"[a-z0-9]+"), 0
+            )
+        ).alias("tok")
+    )
+    n_docs = docs.count()
+    agg = toks.agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.countDistinct("tok").alias("n_distinct"),
+        F.approx_count_distinct("tok", 0.01).alias("n_distinct_approx"),
+    )
+    return agg.select(
+        F.lit(n_docs).cast("long").alias("n_docs"),
+        "total_tokens",
+        "n_distinct",
+        "n_distinct_approx",
+        F.round(
+            F.col("n_distinct").cast("double") / F.col("total_tokens"), 6
+        ).alias("ttr_r6"),
+    )

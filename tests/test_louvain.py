@@ -4,8 +4,6 @@ structural fixtures and the modularity contract."""
 
 from __future__ import annotations
 
-import hashlib
-
 import pytest
 from pyspark.sql import functions as F
 
@@ -14,14 +12,11 @@ from montecarlopagerank_spark.algos.modularity import modularity
 from tests.oracle import random_powerlaw_digraph
 
 
-def _par(v) -> int:
-    return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % 2
-
-
 def louvain_py(edge_list, rounds_per_level=6, max_levels=3):
-    """Reference replay: the same synchronous md5-parity-gated local
-    moves, exact-long aggregates, double gain scores, smallest-id tie
-    break, and contraction — plain dicts instead of DataFrames."""
+    """Reference replay: the same synchronous direction-alternating
+    local moves (even round → smaller labels only, odd → larger),
+    exact-long aggregates, double gain scores, smallest-id tie break,
+    and contraction — plain dicts instead of DataFrames."""
     und = {
         (min(a, b), max(a, b)) for a, b in edge_list if a != b
     }
@@ -63,9 +58,10 @@ def louvain_py(edge_list, rounds_per_level=6, max_levels=3):
                     * float(tot[c] - (k[v] if c == cv else 0))
                     / float(two_m)
                     for c, kv in kvc.items()
+                    if c == cv or (c < cv if r % 2 == 0 else c > cv)
                 }
                 best_c = min((-s, c) for c, s in scores.items())[1]
-                if _par(v) == r % 2 and scores[best_c] > scores[cv]:
+                if scores[best_c] > scores[cv]:
                     new_lab[v] = best_c
                     if best_c != cv:
                         total_moves += 1
@@ -144,3 +140,70 @@ def test_improves_on_singletons_and_empty_input(spark):
     empty = spark.createDataFrame([], "src string, dst string")
     eout, einfo = louvain(spark, empty)
     assert eout.count() == 0 and einfo["n_communities"] == 0
+
+
+def test_adjacent_pair_merges_not_swaps(spark):
+    """Regression: vertices 0 and 1 share md5 parity, so a hash-parity
+    move gate lets them swap labels every round and never merge (the
+    bug this test pinned down); the direction-alternating rule merges
+    them in round 0."""
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    assign, info = louvain(spark, e, rounds_per_level=2, max_levels=1)
+    comm = _assign_map(assign)
+    assert comm[0] == comm[1] == 0
+    assert info["moves"] == [1]
+
+
+def test_weighted_two_triangles_weak_bridge(spark):
+    """Heavy intra-triangle weights vs a weight-1 bridge: weighted
+    Louvain separates the triangles; vertex sets are exact."""
+    tri1 = [(0, 1, 10), (1, 2, 10), (0, 2, 10)]
+    tri2 = [(3, 4, 10), (4, 5, 10), (3, 5, 10)]
+    e = spark.createDataFrame(
+        tri1 + tri2 + [(2, 3, 1)], "src long, dst long, weight long"
+    )
+    assign, info = louvain(spark, e, weight_col="weight")
+    comm = _assign_map(assign)
+    assert comm[0] == comm[1] == comm[2]
+    assert comm[3] == comm[4] == comm[5]
+    assert comm[0] != comm[3]
+
+
+def test_weighted_unit_equals_unweighted(spark):
+    """weight_col of all-1s on a SIMPLE graph is exactly the unweighted
+    run (same closure, same longs, same gated moves). The input is
+    pre-deduped to the undirected simple closure because the weighted
+    path sums parallel pairs while the unweighted path collapses them."""
+    edges = random_powerlaw_digraph(seed=11, n=60)
+    e = (
+        spark.createDataFrame(edges, "src long, dst long")
+        .filter("src != dst")
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .withColumn("one", F.lit(1))
+    )
+    a1, _ = louvain(spark, e, rounds_per_level=4, max_levels=2)
+    a2, _ = louvain(
+        spark, e, rounds_per_level=4, max_levels=2, weight_col="one"
+    )
+    assert _assign_map(a1) == _assign_map(a2)
+
+
+def test_weighted_parallel_pairs_sum(spark):
+    """Duplicate weighted rows for a pair behave exactly like one
+    pre-summed row (the multigraph convention): deterministic engine ⇒
+    assignments are identical."""
+    dup = spark.createDataFrame(
+        [(0, 1, 2), (0, 1, 1), (1, 2, 2), (2, 0, 1), (3, 0, 4)],
+        "src long, dst long, weight long",
+    )
+    summed = spark.createDataFrame(
+        [(0, 1, 3), (1, 2, 2), (0, 2, 1), (0, 3, 4)],
+        "src long, dst long, weight long",
+    )
+    a1, _ = louvain(spark, dup, weight_col="weight")
+    a2, _ = louvain(spark, summed, weight_col="weight")
+    assert _assign_map(a1) == _assign_map(a2)

@@ -490,3 +490,25 @@ def test_dedup_clusters_keep_filter_is_exact_dedup_on_clique(spark):
     kept = [r["doc_id"] for r in
             dedup_clusters(spark, docs, pairs).filter("keep").collect()]
     assert kept == [10]
+
+
+def test_corpus_vocab_stats_exact_and_sketch_band(spark):
+    """Exact counts on a known corpus; the HLL approx stays within 3·rsd
+    of exact (rsd=1%)."""
+    from montecarlopagerank_spark.pipeline.textstats import corpus_vocab_stats
+
+    docs = spark.createDataFrame(
+        [("a", "x y x"), ("b", "y z!"), ("c", "")],
+        "doc_id string, text string",
+    )
+    r = corpus_vocab_stats(docs).collect()[0]
+    assert (r["n_docs"], r["total_tokens"], r["n_distinct"]) == (3, 5, 3)
+    assert r["ttr_r6"] == 0.6
+    # sketch band on a larger vocabulary
+    big = spark.range(0, 20000).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.concat(F.lit("tok"), F.col("id").cast("string")).alias("text"),
+    )
+    b = corpus_vocab_stats(big).collect()[0]
+    assert b["n_distinct"] == 20000
+    assert abs(b["n_distinct_approx"] - 20000) <= 3 * 0.01 * 20000
