@@ -289,6 +289,13 @@ def main() -> None:
         extra["mis_size"] = m.count()
     extra["mis_rounds"] = minfo["rounds"]
 
+    with timed("greedy_coloring"):
+        from montecarlopagerank_spark.algos.coloring import greedy_coloring
+
+        cols, cinfo = greedy_coloring(spark, edges)
+        extra["coloring_n_colors"] = cinfo["n_colors"]
+    extra["coloring_rounds"] = cinfo["rounds"]
+
     with timed("louvain_4x2"):
         from montecarlopagerank_spark.algos.louvain import louvain
 

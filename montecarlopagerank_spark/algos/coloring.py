@@ -1,0 +1,164 @@
+"""Greedy graph coloring (Jones-Plassmann) as DataFrame joins/aggs.
+
+New-engine scope (no reference twin — the reference ships only PageRank;
+coloring is the classic scheduling/symmetry-breaking companion to MIS,
+per Jones & Plassmann, "A parallel graph coloring heuristic", SIAM J.
+Sci. Comput. 1993). As in algos/mis.py, fresh randomness is replaced by
+a FIXED md5 priority per vertex, which keeps the expected O(log n /
+log log n) round bound on non-adversarial inputs while making the
+result a pure function of the input: deterministic, parallelism-
+invariant, and reproducible by the unrolled DuckDB twin (contract.py
+``_coloring_sql``; md5 is the one hash Spark and DuckDB share).
+
+Per round over the undirected simple closure:
+  - a live (uncolored) vertex fires when it has NO live neighbour of
+    higher priority (adjacent live vertices always differ in priority,
+    so the firing frontier is an independent set);
+  - each firing vertex takes the MEX — the smallest colour in
+    ``0..|used|`` not already used by a (necessarily earlier-fired)
+    coloured neighbour. Higher-priority neighbours are coloured before
+    v and avoided by v's mex; lower-priority neighbours fire later and
+    avoid v's colour — so the colouring is proper by induction.
+
+MEX stays inside codegen: ``array_min(array_except(sequence(0, n),
+used))`` over a ``collect_set`` of neighbour colours — by pigeonhole
+the n+1 candidates always contain a free colour, so the result is
+never null. Greedy bound: at most Δ+1 colours.
+
+Scale shape: the symmetric pair set is exchanged ONCE (hash-partitioned
+by ``u``, pinned) — it is loop-invariant, unlike MIS's shrinking live
+pair set, because colour lookups need edges into already-coloured
+vertices. Per round only O(V) tables move (live set, coloured set,
+frontier), every join is shuffle_hash-hinted on the O(V) side, and the
+per-round job count is constant (3 state writes). Rounds are the length
+of the longest priority-decreasing path — O(log n / log log n) expected
+for hash priorities.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from montecarlopagerank_spark.algos.components import _pairs
+from montecarlopagerank_spark.algos.mis import _pri
+from montecarlopagerank_spark.operators.state import StateStore
+
+
+def greedy_coloring(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_rounds: int = 64,
+    n_partitions: int | None = None,
+) -> tuple[DataFrame, dict[str, Any]]:
+    """``edges(src, dst)`` → (``colors(v, color)``, info): a proper
+    greedy colouring of the undirected simple closure (self-loops
+    dropped). Isolated / self-loop-only vertices get colour 0.
+    ``info['converged']`` is True iff every vertex fired within
+    ``max_rounds``; ``info['n_colors']`` is the palette size."""
+    t0 = time.time()
+    n_parts = int(n_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    store = StateStore(spark)
+
+    verts = (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    p = _pairs(edges)
+    sym = (
+        p.select(F.col("x").alias("u"), F.col("y").alias("w"))
+        .unionByName(p.select(F.col("y").alias("u"), F.col("x").alias("w")))
+        .repartition(n_parts, "u")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    live = store.materialize(verts, "color_live")
+    colored: DataFrame | None = None
+    rounds, converged, n_live = 0, False, None
+    for it in range(max_rounds):
+        if n_live == 0:
+            converged = True
+            break
+        # live neighbours of each live u = sym minus coloured endpoints
+        live_nbr = (
+            sym.join(
+                (colored.select(F.col("v").alias("w")) if colored is not None
+                 else live.limit(0).select(F.col("v").alias("w")))
+                .hint("shuffle_hash"),
+                "w",
+                "left_anti",
+            )
+            if colored is not None
+            else sym
+        )
+        nbr_max = live_nbr.groupBy("u").agg(F.max(_pri(F.col("w"))).alias("mx"))
+        frontier = (
+            live.join(
+                nbr_max.withColumnRenamed("u", "v").hint("shuffle_hash"),
+                "v",
+                "left",
+            )
+            .filter(F.col("mx").isNull() | (_pri(F.col("v")) > F.col("mx")))
+            .select("v")
+        )
+        # mex over coloured-neighbour colours (empty set → colour 0)
+        if colored is not None:
+            used = (
+                frontier.join(
+                    sym.withColumnRenamed("u", "v"), "v", "left"
+                )
+                .join(
+                    colored.select(
+                        F.col("v").alias("w"), F.col("color").alias("nc")
+                    ).hint("shuffle_hash"),
+                    "w",
+                    "left",
+                )
+                .groupBy("v")
+                .agg(F.collect_set("nc").alias("used"))
+            )
+        else:
+            used = frontier.select(
+                "v", F.array().cast("array<int>").alias("used")
+            )
+        fired = used.select(
+            "v",
+            F.array_min(
+                F.array_except(
+                    F.sequence(F.lit(0), F.size("used")), F.col("used")
+                )
+            ).alias("color"),
+        )
+        fired = store.materialize(fired, "color_fired")
+        colored = store.materialize(
+            fired if colored is None else colored.unionByName(fired),
+            "color_all",
+        )
+        obs = Observation(f"color_live_{it}")
+        live = store.materialize(
+            live.join(fired.hint("shuffle_hash"), "v", "left_anti").observe(
+                obs, F.count(F.lit(1)).alias("n")
+            ),
+            "color_live",
+        )
+        n_live = int(obs.get["n"] or 0)
+        rounds += 1
+    else:
+        converged = n_live == 0
+
+    out = (colored if colored is not None
+           else verts.select("v", F.lit(0).alias("color")))
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    n_colors = out.select("color").distinct().count()
+    sym.unpersist()
+    return out, {
+        "rounds": rounds,
+        "converged": converged,
+        "n_colors": n_colors,
+        "secs": round(time.time() - t0, 3),
+    }

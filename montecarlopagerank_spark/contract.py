@@ -881,6 +881,59 @@ s{r + 1} AS MATERIALIZED (
     return "".join(parts)
 
 
+def _coloring_sql(rounds: int) -> str:
+    """Jones-Plassmann greedy-coloring twin (algos/coloring.py): fixed
+    md5 priorities, frontier = live vertices with no higher-priority
+    live neighbour, colour = mex over coloured-neighbour colours.
+    Unrolled ``rounds`` rounds; past the fixpoint every round is the
+    identity (empty frontier), so ``rounds`` ≥ the engine's convergence
+    depth reproduces the exact assignment. Emits (v, color)."""
+    parts = [
+        ("WITH " + SQL_TEDGES[1:]).replace("tedges AS (", "tedges AS MATERIALIZED ("),
+        """,
+sym AS MATERIALIZED (
+  SELECT DISTINCT u, w FROM (
+    SELECT src AS u, dst AS w FROM tedges WHERE src <> dst
+    UNION ALL SELECT dst, src FROM tedges WHERE src <> dst)
+),
+live0 AS MATERIALIZED (SELECT src AS v FROM tedges UNION SELECT dst FROM tedges),
+colored0 AS (SELECT v, 0 AS color FROM live0 WHERE FALSE)""",
+    ]
+    for r in range(rounds):
+        parts.append(f""",
+lmax{r} AS (
+  SELECT s.u, MAX(md5(s.w)) AS mx FROM sym s
+  LEFT JOIN colored{r} c ON s.w = c.v WHERE c.v IS NULL GROUP BY s.u
+),
+frontier{r} AS MATERIALIZED (
+  SELECT l.v FROM live{r} l LEFT JOIN lmax{r} m ON l.v = m.u
+  WHERE m.mx IS NULL OR md5(l.v) > m.mx
+),
+used{r} AS MATERIALIZED (
+  SELECT DISTINCT f.v, c.color FROM frontier{r} f
+  JOIN sym s ON s.u = f.v JOIN colored{r} c ON s.w = c.v
+),
+fired{r} AS MATERIALIZED (
+  SELECT t.v, MIN(t.cand) AS color FROM (
+    SELECT n.v, UNNEST(range(0, n.n + 1)) AS cand FROM (
+      SELECT f.v, COUNT(u.color) AS n FROM frontier{r} f
+      LEFT JOIN used{r} u USING (v) GROUP BY f.v) n
+  ) t
+  LEFT JOIN used{r} u ON u.v = t.v AND u.color = t.cand
+  WHERE u.v IS NULL GROUP BY t.v
+),
+colored{r + 1} AS MATERIALIZED (
+  SELECT v, color FROM colored{r} UNION ALL SELECT v, color FROM fired{r}
+),
+live{r + 1} AS MATERIALIZED (
+  SELECT v FROM live{r} WHERE v NOT IN (SELECT v FROM frontier{r})
+)""")
+    parts.append(
+        f"\nSELECT v, CAST(color AS BIGINT) AS color FROM colored{rounds}"
+    )
+    return "".join(parts)
+
+
 def _kmeans_sql_ctes(k: int, iters: int, dim: int) -> str:
     """Shared CTE chain for the k-means / IVF twins: deterministic
     farthest-point (maxmin) seeding unrolled seed-by-seed, then
@@ -2120,6 +2173,18 @@ def q_louvain_communities_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _community_size_hist(assign)
 
 
+def q_greedy_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Jones-Plassmann greedy-coloring assignment (fixed md5
+    priorities, algos/coloring.py) — hash-checked against the unrolled
+    twin _coloring_sql(18) (engine converges in 14 rounds at sf0.01;
+    extra unrolled rounds are the identity)."""
+    from montecarlopagerank_spark.algos.coloring import greedy_coloring
+
+    e = _string_edges(spark, sf_dir).select("src", "dst")
+    out, _ = greedy_coloring(spark, e)
+    return out.select("v", F.col("color").cast("long").alias("color"))
+
+
 def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated 5-gram statistics + longest duplicated
     span per document (pipeline/dupspans.py — the distributed stand-in
@@ -2360,6 +2425,7 @@ QUERIES = {
     "eigenvector_fixed6": q_eigenvector_fixed6,
     "dup_ngram_spans": q_dup_ngram_spans,
     "louvain_level1_sizes": q_louvain_level1_sizes,
+    "greedy_coloring": q_greedy_coloring,
     "louvain_communities_sizes": q_louvain_communities_sizes,
     "mis_vertices": q_mis_vertices,
     "gopher_quality_flags": q_gopher_quality_flags,
@@ -2941,6 +3007,7 @@ FROM d LEFT JOIN d r ON d.src = r.dst AND d.dst = r.src
     "katz_fixed6": _katz_sql(6, 0.05),
     "eigenvector_fixed6": _katz_sql(6, 1.0, beta=0.0, out_col="eig_n6"),
     "louvain_level1_sizes": _louvain_sql(6),
+    "greedy_coloring": _coloring_sql(18),
     # span detection: gaps-and-islands window here, doc-bounded array
     # fold on the Spark side (dupspans.py)
     "dup_ngram_spans": """
