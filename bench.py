@@ -289,6 +289,13 @@ def main() -> None:
         extra["mis_size"] = m.count()
     extra["mis_rounds"] = minfo["rounds"]
 
+    with timed("core_numbers"):
+        from montecarlopagerank_spark.algos.corenum import core_numbers
+
+        _cores, coinfo = core_numbers(spark, edges)
+        extra["max_coreness"] = coinfo["max_coreness"]
+    extra["corenum_rounds"] = coinfo["rounds"]
+
     with timed("greedy_coloring"):
         from montecarlopagerank_spark.algos.coloring import greedy_coloring
 

@@ -934,6 +934,42 @@ live{r + 1} AS MATERIALIZED (
     return "".join(parts)
 
 
+def _corenum_sql(rounds: int) -> str:
+    """H-index core-number twin (algos/corenum.py): h₀ = degree, then
+    h ← H(neighbour h values) via the identical histogram + running-
+    count shape. Monotone non-increasing, so ``rounds`` ≥ the engine's
+    convergence depth reproduces the exact coreness (extra rounds are
+    the identity). Emits (v, coreness); isolated/self-loop-only
+    vertices get 0."""
+    parts = [
+        ("WITH " + SQL_TEDGES[1:]).replace("tedges AS (", "tedges AS MATERIALIZED ("),
+        """,
+sym AS MATERIALIZED (
+  SELECT DISTINCT u, w FROM (
+    SELECT src AS u, dst AS w FROM tedges WHERE src <> dst
+    UNION ALL SELECT dst, src FROM tedges WHERE src <> dst)
+),
+verts AS MATERIALIZED (SELECT src AS v FROM tedges UNION SELECT dst FROM tedges),
+h0 AS MATERIALIZED (SELECT u AS v, COUNT(*)::BIGINT AS h FROM sym GROUP BY u)""",
+    ]
+    for r in range(rounds):
+        parts.append(f""",
+h{r + 1} AS MATERIALIZED (
+  SELECT v, MAX(LEAST(hw, ge))::BIGINT AS h FROM (
+    SELECT v, hw, SUM(cnt) OVER (
+      PARTITION BY v ORDER BY hw DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ge
+    FROM (
+      SELECT s.u AS v, hh.h AS hw, COUNT(*)::BIGINT AS cnt
+      FROM sym s JOIN h{r} hh ON s.w = hh.v GROUP BY s.u, hh.h)
+  ) GROUP BY v
+)""")
+    parts.append(f"""
+SELECT t.v, COALESCE(h.h, 0)::BIGINT AS coreness
+FROM verts t LEFT JOIN h{rounds} h ON t.v = h.v""")
+    return "".join(parts)
+
+
 def _kmeans_sql_ctes(k: int, iters: int, dim: int) -> str:
     """Shared CTE chain for the k-means / IVF twins: deterministic
     farthest-point (maxmin) seeding unrolled seed-by-seed, then
@@ -2185,6 +2221,18 @@ def q_greedy_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("v", F.col("color").cast("long").alias("color"))
 
 
+def q_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full core-number decomposition via H-index iteration
+    (algos/corenum.py) — hash-checked against the unrolled twin
+    _corenum_sql(20) (the engine converges in 18 rounds at sf0.01 and
+    the iteration is monotone, so extra rounds are the identity)."""
+    from montecarlopagerank_spark.algos.corenum import core_numbers
+
+    e = _string_edges(spark, sf_dir).select("src", "dst")
+    out, _ = core_numbers(spark, e)
+    return out
+
+
 def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated 5-gram statistics + longest duplicated
     span per document (pipeline/dupspans.py — the distributed stand-in
@@ -2426,6 +2474,7 @@ QUERIES = {
     "dup_ngram_spans": q_dup_ngram_spans,
     "louvain_level1_sizes": q_louvain_level1_sizes,
     "greedy_coloring": q_greedy_coloring,
+    "core_numbers": q_core_numbers,
     "louvain_communities_sizes": q_louvain_communities_sizes,
     "mis_vertices": q_mis_vertices,
     "gopher_quality_flags": q_gopher_quality_flags,
@@ -3008,6 +3057,7 @@ FROM d LEFT JOIN d r ON d.src = r.dst AND d.dst = r.src
     "eigenvector_fixed6": _katz_sql(6, 1.0, beta=0.0, out_col="eig_n6"),
     "louvain_level1_sizes": _louvain_sql(6),
     "greedy_coloring": _coloring_sql(18),
+    "core_numbers": _corenum_sql(20),
     # span detection: gaps-and-islands window here, doc-bounded array
     # fold on the Spark side (dupspans.py)
     "dup_ngram_spans": """
