@@ -1818,6 +1818,16 @@ def q_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document ingestion dedup verdict (pipeline/dedup.py
+    dedup_verdicts; the batch twin of streaming/dedup_stream.py) —
+    hash-checked against a window-min DuckDB twin."""
+    from montecarlopagerank_spark.pipeline.dedup import dedup_verdicts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup_verdicts(docs)
+
+
 def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (rows-only: xxhash64 family has no
     DuckDB twin; exactness of the verify step is covered by
@@ -2445,6 +2455,7 @@ QUERIES = {
     "langid_heuristic": q_langid_heuristic,
     "doc_fingerprint": q_doc_fingerprint,
     "exact_dedup_groups": q_exact_dedup_groups,
+    "dedup_verdicts": q_dedup_verdicts,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_cluster_keep": q_dedup_cluster_keep,
@@ -2803,6 +2814,12 @@ FROM t
 SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
 FROM (SELECT doc_id, md5({SQL_NORM}) AS k FROM documents) g
 GROUP BY k
+""",
+    "dedup_verdicts": f"""
+SELECT doc_id,
+       MIN(doc_id) OVER (PARTITION BY k) AS keep_id,
+       doc_id <> MIN(doc_id) OVER (PARTITION BY k) AS is_dup
+FROM (SELECT doc_id, md5({SQL_NORM}) AS k FROM documents) g
 """,
     "dedup_cluster_keep": _dedup_cluster_sql(6),
     "ngram_jaccard_pairs": rf"""

@@ -51,6 +51,24 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+def dedup_verdicts(docs: DataFrame) -> DataFrame:
+    """Per-document ingestion verdict: ``(doc_id, keep_id, is_dup)`` —
+    one row per input doc, keeper = min doc_id sharing the exact-dedup
+    key. The batch twin of streaming/dedup_stream.py (keeper = first
+    seen under an append-only doc_id-ordered log). Scale shape: one
+    map-side-combined min-groupBy on the key plus one shuffle_hash
+    re-join on the same key (co-partitioned, AQE reuses the exchange);
+    the key never leaves the JVM."""
+    key = F.md5(normalized_text(F.col("text")).cast("binary"))
+    keyed = docs.select("doc_id", key.alias("k"))
+    keepers = keyed.groupBy("k").agg(F.min("doc_id").alias("keep_id"))
+    return keyed.join(keepers.hint("shuffle_hash"), "k").select(
+        "doc_id",
+        "keep_id",
+        (F.col("doc_id") != F.col("keep_id")).alias("is_dup"),
+    )
+
+
 # ------------------------------------------------------------- minhash
 def _shingles(text: Column, n: int) -> Column:
     """Distinct word n-gram shingles of the normalized text. The token

@@ -153,3 +153,82 @@ def test_session_stream_state_across_batches(spark, tmp_path):
     # replays are dropped: draining the same input again adds nothing
     run_session_stream(spark, inp, out, ck)
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def _docs_fixture(spark):
+    """20 docs, several exact-dup groups (after normalization), some
+    spanning the batch split used below."""
+    rows = []
+    texts = [
+        "Alpha  beta gamma",  # norm-dup group A: 0, 7, 15
+        "unique one",
+        "Delta epsilon",      # group B: 2, 11
+        "unique two",
+        "alpha beta GAMMA ",  # group A
+        "unique three",
+    ]
+    for i in range(20):
+        if i in (7, 15):
+            t = texts[0]
+        elif i == 11:
+            t = texts[2]
+        elif i == 4:
+            t = texts[4]
+        else:
+            t = texts[i % 6] if i < 6 else f"filler text {i}"
+        rows.append((i, t))
+    return spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("s").alias("source"), F.length("text").alias("n_chars"),
+    )
+
+
+def _verdicts(df):
+    return sorted(
+        (r["doc_id"], r["keep_id"], r["is_dup"]) for r in df.collect()
+    )
+
+
+def test_dedup_stream_equals_batch(spark, tmp_path):
+    from montecarlopagerank_spark.pipeline.dedup import dedup_verdicts
+    from montecarlopagerank_spark.streaming.dedup_stream import (
+        run_dedup_stream,
+    )
+
+    docs = _docs_fixture(spark).persist()
+    inp, out, ck = (str(tmp_path / d) for d in ("din", "dout", "dck"))
+    docs.write.parquet(inp)
+    run_dedup_stream(spark, inp, out, ck)
+    got = spark.read.parquet(out)
+    want = dedup_verdicts(docs)
+    assert _verdicts(got) == _verdicts(want)
+    # the fixture really contains cross-doc duplicates
+    assert want.filter("is_dup").count() >= 3
+
+
+def test_dedup_stream_state_across_batches(spark, tmp_path):
+    """Duplicate groups span the split: verdicts only line up with
+    batch if the keeper carries over in state."""
+    from montecarlopagerank_spark.pipeline.dedup import dedup_verdicts
+    from montecarlopagerank_spark.streaming.dedup_stream import (
+        run_dedup_stream,
+    )
+
+    docs = _docs_fixture(spark).persist()
+    inp, out, ck = (str(tmp_path / d) for d in ("din", "dout", "dck"))
+    os.makedirs(inp, exist_ok=True)
+    first = docs.filter("doc_id < 6")   # keepers of groups A and B
+    second = docs.filter("doc_id >= 6")  # their later duplicates
+    first.write.mode("append").parquet(inp)
+    run_dedup_stream(spark, inp, out, ck)
+    second.write.mode("append").parquet(inp)
+    run_dedup_stream(spark, inp, out, ck)
+    got = spark.read.parquet(out)
+    want = dedup_verdicts(docs)
+    assert _verdicts(got) == _verdicts(want)
+    # cross-batch duplicate: doc 7 deduped against batch-1 keeper 0
+    m = {r["doc_id"]: (r["keep_id"], r["is_dup"]) for r in got.collect()}
+    assert m[7] == (0, True) and m[15] == (0, True) and m[11] == (2, True)
+    # replays are dropped: draining the same input again adds nothing
+    run_dedup_stream(spark, inp, out, ck)
+    assert spark.read.parquet(out).count() == docs.count()
