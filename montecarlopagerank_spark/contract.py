@@ -1775,6 +1775,24 @@ def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram cross-entropy (Jelinek-Mercer lam=0.7) under
+    the corpus's own bigram+unigram MLE model (pipeline/lmscore.py
+    bigram_lm_scores). Rounded to 6 like unigram_lm; the SQL twin
+    spells the interpolation weights as the IDENTICAL double
+    expressions (0.7, 1.0 - 0.7) so both engines evaluate the same
+    IEEE constants."""
+    from montecarlopagerank_spark.pipeline.lmscore import bigram_lm_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = bigram_lm_scores(docs, lam=0.7)
+    return s.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("cross_entropy", 6).alias("cross_entropy_r6"),
+    )
+
+
 def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary summary (pipeline/textstats.py
     corpus_vocab_stats) — the EXACT columns only; the HLL approx column
@@ -2019,6 +2037,20 @@ def q_range_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         errors, ev, on="user_id", ts="us", window_us=7_200_000_000,
         left_id="event_id", right_id="event_id",
     )
+
+
+def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h event-time windows: per-(window, event_type) count +
+    value sum — the BATCH twin of streaming/window_stream.py (whose
+    watermarked append-mode run is pinned by tests/test_streaming.py;
+    this query hash-checks the shared aggregation plan against epoch
+    arithmetic in DuckDB). Window start surfaces as epoch MICROSECONDS
+    so no engine's timestamp rendering enters the hash."""
+    from montecarlopagerank_spark.streaming.window_stream import (
+        windowed_counts_batch,
+    )
+
+    return windowed_counts_batch(_events(spark, sf_dir), window="1 hour")
 
 
 def q_k_truss_3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2377,6 +2409,27 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-10 (pipeline/pq.py): 4 subspaces ×
+    16 codewords trained jointly in one Lloyd loop, corpus encoded to
+    4-byte codes, asymmetric-distance scan for queries vec_id<8. No SQL
+    twin (a 4-way jointly-trained PQ unrolled in SQL would dwarf the
+    operator); parity + recall are pinned by tests/test_pq.py against a
+    pure-numpy PQ (codes exact, ADC 1e-9, recall >= 0.5 floor)."""
+    from montecarlopagerank_spark.pipeline.pq import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    book = pq_train(spark, emb, m=4, k=16, iters=2)
+    codes = pq_encode(emb, book, m=4)
+    return pq_adc_topk(
+        spark, codes, book, emb.filter(F.col("vec_id") < 8), m=4, k=10
+    )
+
+
 def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus line dedup (pipeline/linededup.py, C4/CCNet boilerplate
     removal, keep='first'). The synthetic docs are single-line, so the
@@ -2449,6 +2502,7 @@ QUERIES = {
     "conductance_cc": q_conductance_cc,
     "token_stats": q_token_stats,
     "unigram_lm": q_unigram_lm,
+    "bigram_lm": q_bigram_lm,
     "turn_latency": q_turn_latency,
     "vocab_stats": q_vocab_stats,
     "quality_score": q_quality_score,
@@ -2469,6 +2523,7 @@ QUERIES = {
     "sessionize_events": q_sessionize_events,
     "asof_last_signup": q_asof_last_signup,
     "range_join_counts": q_range_join_counts,
+    "windowed_event_counts": q_windowed_event_counts,
     "hash_split_counts": q_hash_split_counts,
     "mixture_sample_counts": q_mixture_sample_counts,
     "chunk_documents": q_chunk_documents,
@@ -2495,6 +2550,7 @@ QUERIES = {
     "line_dedup_docs": q_line_dedup_docs,
     "kmeans_embeddings": q_kmeans_embeddings,
     "ivf_topk": q_ivf_topk,
+    "pq_topk": q_pq_topk,
 }
 
 
@@ -2739,6 +2795,33 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
 FROM toks JOIN cnt USING (tok), tot
 GROUP BY doc_id
 """,
+    # interpolation weights written as 0.7 / (1.0 - 0.7) so DuckDB
+    # evaluates the same IEEE doubles as the Spark lit()s
+    "bigram_lm": r"""
+WITH tk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+  FROM documents
+),
+uni AS (
+  SELECT tok AS w2, COUNT(*) AS cu
+  FROM (SELECT unnest(tk) AS tok FROM tk) GROUP BY tok
+),
+tot AS (SELECT CAST(SUM(cu) AS DOUBLE) AS t FROM uni),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+         unnest(list_transform(range(1, len(tk)), i -> tk[i + 1])) AS w2
+  FROM tk WHERE len(tk) >= 2
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY w1, w2),
+ctx AS (SELECT w1, SUM(cb) AS cc FROM c2 GROUP BY w1)
+SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+       ROUND(AVG(-ln(0.7 * c2.cb / ctx.cc + (1.0 - 0.7) * uni.cu / tot.t)),
+             6) AS cross_entropy_r6
+FROM bg JOIN c2 USING (w1, w2) JOIN ctx USING (w1)
+     JOIN uni ON bg.w2 = uni.w2, tot
+GROUP BY doc_id
+""",
     "quality_score": rf"""
 WITH t AS (
   SELECT doc_id, text,
@@ -2898,6 +2981,12 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        COUNT(*) AS n_events, MAX(us) - MIN(us) AS duration_us,
        MIN(event_id) AS first_event_id
 FROM sess GROUP BY user_id, session_id
+""",
+    "windowed_event_counts": """
+SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+       event_type, COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value_r6
+FROM events GROUP BY 1, 2
 """,
     "asof_last_signup": """
 WITH p AS (

@@ -461,6 +461,35 @@ def test_unigram_lm_uniform_corpus(spark):
         assert r["perplexity"] == pytest.approx(5.0, rel=1e-12)
 
 
+def test_bigram_lm_closed_form(spark):
+    """Corpus 'a b a b' + 'a b c' (+ 'solo'): bigram counts c(a,b)=3,
+    c(b,a)=1, c(b,c)=1; contexts c(a·)=3, c(b·)=2; the unigram fallback
+    is over ALL docs' tokens — a:3 b:3 c:1 solo:1, total 8 ('solo' has
+    no bigram so d3 is unscored, but its token IS corpus evidence).
+    Hand-check interpolated p for every bigram position at lam=0.7."""
+    import math
+
+    from montecarlopagerank_spark.pipeline.lmscore import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [("d1", "A b a B!"), ("d2", "a b, c"), ("d3", "solo"), ("d4", "")],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r for r in bigram_lm_scores(docs, lam=0.7).collect()}
+    assert set(got) == {"d1", "d2"}
+    lam, om = 0.7, 1.0 - 0.7
+    p_ab = lam * 3 / 3 + om * 3 / 8
+    p_ba = lam * 1 / 2 + om * 3 / 8
+    p_bc = lam * 1 / 2 + om * 1 / 8
+    ce1 = -(math.log(p_ab) + math.log(p_ba) + math.log(p_ab)) / 3
+    ce2 = -(math.log(p_ab) + math.log(p_bc)) / 2
+    assert got["d1"]["n_bigrams"] == 3
+    assert got["d1"]["cross_entropy"] == pytest.approx(ce1, rel=1e-12)
+    assert got["d2"]["n_bigrams"] == 2
+    assert got["d2"]["cross_entropy"] == pytest.approx(ce2, rel=1e-12)
+    assert got["d2"]["perplexity"] == pytest.approx(math.exp(ce2), rel=1e-12)
+
+
 def test_dedup_clusters_chain_and_singletons(spark):
     """Pairs (1,2),(2,3) chain into ONE cluster with min-id survivor;
     untouched docs are their own singleton cluster, keep=true."""

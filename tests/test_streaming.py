@@ -232,3 +232,125 @@ def test_dedup_stream_state_across_batches(spark, tmp_path):
     # replays are dropped: draining the same input again adds nothing
     run_dedup_stream(spark, inp, out, ck)
     assert spark.read.parquet(out).count() == docs.count()
+
+
+def _win_rows(df):
+    return sorted(
+        (r["window_start_us"], r["event_type"], r["n_events"],
+         r["sum_value_r6"])
+        for r in df.collect()
+    )
+
+
+def _base_us(spark):
+    """Epoch microseconds of the fixture origin (2024-03-01 00:00) under
+    the SESSION timezone — the same instant the streamed timestamps
+    carry, so window-epoch assertions are tz-proof."""
+    import datetime as dt
+
+    df = spark.createDataFrame([(dt.datetime(2024, 3, 1),)], "t timestamp")
+    return df.select(
+        (F.unix_timestamp("t") * 1_000_000).cast("long")
+    ).collect()[0][0]
+
+
+def _mk_events(spark, rows):
+    """rows: (event_id, minutes_from_fixture_origin, event_type, value)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    data = [
+        (eid, base + dt.timedelta(minutes=m), eid % 7, et, v, "")
+        for eid, m, et, v in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+def test_window_stream_emits_closed_windows_only(spark, tmp_path):
+    """availableNow drain of chunk 1 (event time reaching 05:30, 2h
+    watermark -> high-water 03:30) must emit EXACTLY the windows ending
+    <= 03:30 — the batch twin restricted to closed windows — and
+    withhold the open tail."""
+    from montecarlopagerank_spark.streaming.window_stream import (
+        run_window_stream,
+        windowed_counts_batch,
+    )
+
+    inp, out, ck = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    chunk1 = _mk_events(
+        spark,
+        [
+            (0, 10, "view", 1.5), (1, 20, "click", 2.0),
+            (2, 70, "view", 3.25), (3, 150, "view", 1.0),
+            (4, 155, "click", 4.0), (5, 200, "view", 2.5),
+            (6, 330, "view", 0.5),  # 05:30 -> watermark 03:30
+        ],
+    ).persist()
+    import os
+
+    os.makedirs(inp, exist_ok=True)
+    chunk1.write.mode("append").parquet(inp)
+    run_window_stream(spark, inp, out, ck)
+    got1 = spark.read.parquet(out)
+    wm1_us = _base_us(spark) + (3 * 3600 + 1800) * 1_000_000
+    want1 = windowed_counts_batch(chunk1).filter(
+        # window END <= watermark high-water
+        F.col("window_start_us") + 3600 * 1_000_000 <= F.lit(wm1_us)
+    )
+    assert _win_rows(got1) == _win_rows(want1)
+    assert got1.count() == 5  # hour 0: view+click, hour 1: view, hour 2: both
+
+
+def test_window_stream_counts_late_rows_and_never_revises(spark, tmp_path):
+    """Run 2 appends a LATE row (03:45 < run-1 max event time, but above
+    the checkpointed 03:30 watermark) plus fresh rows advancing the
+    watermark to 07:40: the late row must be COUNTED in its 03:00 window
+    (emitted this run), run-1's rows must be byte-identical in the sink,
+    and the union must equal the batch twin over everything, restricted
+    to windows ending <= 07:40."""
+    from montecarlopagerank_spark.streaming.window_stream import (
+        run_window_stream,
+        windowed_counts_batch,
+    )
+
+    import os
+
+    inp, out, ck = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    chunk1 = _mk_events(
+        spark,
+        [
+            (0, 10, "view", 1.5), (1, 70, "click", 2.0),
+            (2, 200, "view", 2.5), (3, 330, "view", 0.5),  # wm -> 03:30
+        ],
+    ).persist()
+    os.makedirs(inp, exist_ok=True)
+    chunk1.write.mode("append").parquet(inp)
+    run_window_stream(spark, inp, out, ck)
+    got1 = _win_rows(spark.read.parquet(out))
+
+    chunk2 = _mk_events(
+        spark,
+        [
+            (10, 225, "view", 9.0),   # LATE: 03:45, window [03:00, 04:00)
+            (11, 580, "click", 1.0),  # 09:40 -> watermark 07:40
+        ],
+    ).persist()
+    chunk2.write.mode("append").parquet(inp)
+    run_window_stream(spark, inp, out, ck)
+    got2 = spark.read.parquet(out)
+
+    wm2_us = _base_us(spark) + (7 * 3600 + 40 * 60) * 1_000_000
+    want2 = windowed_counts_batch(chunk1.unionByName(chunk2)).filter(
+        F.col("window_start_us") + 3600 * 1_000_000 <= F.lit(wm2_us)
+    )
+    assert _win_rows(got2) == _win_rows(want2)
+    # run 1's emissions are still there, unrevised
+    assert set(got1) <= set(_win_rows(got2))
+    # the late row really landed in the 03:00 window
+    h3_us = _base_us(spark) + 3 * 3600 * 1_000_000
+    late = [r for r in _win_rows(got2) if r[0] == h3_us and r[1] == "view"]
+    assert late == [(h3_us, "view", 2, 11.5)]
