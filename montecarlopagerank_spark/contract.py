@@ -432,6 +432,38 @@ l{r + 1} AS MATERIALIZED (
     return parts
 
 
+def _scc_sql() -> str:
+    """Exact SCC size histogram via the definition itself: u, v share a
+    strongly connected component iff both reach(u,v) and reach(v,u). The
+    transitive closure is a recursive CTE — tractable here because the
+    transcript digraph's closure is SMALL by construction (turn chains
+    are per-conversation DAGs of length ≈ conv length, tools are sinks,
+    only the role vertices cycle): ~180k pairs at sf0.01, 2.5s in
+    DuckDB. The engine (algos/scc.py trim+coloring) labels by max vid,
+    this twin by min string key — the size histogram is assignment-free
+    so the two agree exactly."""
+    return ("WITH RECURSIVE " + SQL_TEDGES[1:] + """,
+de AS MATERIALIZED (SELECT DISTINCT src, dst FROM tedges WHERE src <> dst),
+verts AS MATERIALIZED (SELECT src AS v FROM de UNION SELECT dst FROM de),
+reach(src, dst) AS (
+  SELECT src, dst FROM de
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN de e ON r.dst = e.src
+),
+mutual AS (
+  SELECT a.src AS u, a.dst AS v
+  FROM reach a JOIN reach b ON b.src = a.dst AND b.dst = a.src
+),
+lbl AS (
+  SELECT vt.v, least(vt.v, COALESCE(MIN(m.v), vt.v)) AS l
+  FROM verts vt LEFT JOIN mutual m ON m.u = vt.v
+  GROUP BY vt.v
+)
+SELECT CAST(size AS BIGINT) AS size, COUNT(*) AS n_components
+FROM (SELECT l, COUNT(*) AS size FROM lbl GROUP BY l)
+GROUP BY size""")
+
+
 def _modularity_sql(rounds: int = 24) -> str:
     """Newman modularity of the connected-component partition. Q is a
     pure function of the partition (label values cancel), so the
@@ -1437,10 +1469,12 @@ def q_closeness_centrality_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_scc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCC size histogram of the DIRECTED transcript graph (trim +
-    coloring, algos/scc.py). No SQL twin — a relational SCC needs the
-    transitive closure (O(n²) pairs in DuckDB); correctness is pinned
-    exactly against an iterative Tarjan on random digraphs and
-    handcrafted cycle/chain/DAG fixtures (tests/test_scc.py)."""
+    coloring, algos/scc.py). Hash-checked against a recursive-CTE
+    closure twin (_scc_sql — mutual reachability by definition;
+    tractable because this digraph's closure is small). Engine-side
+    correctness is additionally pinned against an iterative Tarjan on
+    random digraphs and handcrafted cycle/chain/DAG fixtures
+    (tests/test_scc.py)."""
     from montecarlopagerank_spark.algos.scc import strongly_connected_components
 
     edges, vertices, _ = _vid_graph(spark, sf_dir)
@@ -2648,6 +2682,7 @@ FROM sym JOIN deg du ON sym.u = du.u JOIN deg dw ON sym.w = dw.u
     "harmonic_centrality_tools": _harmonic_sql(6),
     "closeness_centrality_tools": _closeness_sql(6),
     "connected_components_sizes": _cc_sql(24),
+    "scc_sizes": _scc_sql(),
     "k_core_2": _kcore_sql(2, 28),
     "k_truss_3": _truss_sql(3, 8),
     "label_propagation_fixed2": _lpa_sql(2),
