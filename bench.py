@@ -114,6 +114,11 @@ def main() -> None:
         scores, _ = hits(spark, edges, vertices, iters=5)
         scores.orderBy(F.desc("auth")).limit(20).collect()
 
+    with timed("salsa_5"):
+        from montecarlopagerank_spark.algos.salsa import salsa
+        sscores, _ = salsa(spark, edges, vertices, iters=5)
+        sscores.orderBy(F.desc("auth")).limit(20).collect()
+
     with timed("k_core_2"):
         core, kinfo = k_core(spark, edges, k=2)
         core.groupBy("deg").count().orderBy(F.desc("count")).limit(5).collect()

@@ -432,6 +432,45 @@ l{r + 1} AS MATERIALIZED (
     return parts
 
 
+def _salsa_sql(iters: int) -> str:
+    """SALSA unrolled to ``iters`` iterations (algos/salsa.py): each
+    half-step a stochastic matrix-vector product (no normalization
+    constant — sums are preserved by construction), hub₀ uniform over
+    the out-degree support."""
+    parts = [
+        "WITH " + SQL_TEDGES[1:],
+        """,
+te AS MATERIALIZED (SELECT src, dst FROM tedges),
+verts AS MATERIALIZED (SELECT src AS v FROM te UNION SELECT dst FROM te),
+dout AS MATERIALIZED (
+  SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS d FROM te GROUP BY src
+),
+din AS MATERIALIZED (
+  SELECT dst AS v, CAST(COUNT(*) AS DOUBLE) AS d FROM te GROUP BY dst
+),
+nh AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM dout),
+h0 AS (SELECT v, 1.0 / nh.n AS s FROM dout CROSS JOIN nh)""",
+    ]
+    for i in range(iters):
+        parts.append(f""",
+a{i + 1} AS MATERIALIZED (
+  SELECT e.dst AS v, SUM(h.s * (1.0 / o.d)) AS s
+  FROM te e JOIN h{i} h ON e.src = h.v JOIN dout o ON e.src = o.v
+  GROUP BY e.dst
+),
+h{i + 1} AS MATERIALIZED (
+  SELECT e.src AS v, SUM(a.s * (1.0 / dd.d)) AS s
+  FROM te e JOIN a{i + 1} a ON e.dst = a.v JOIN din dd ON e.dst = dd.v
+  GROUP BY e.src
+)""")
+    parts.append(f"""
+SELECT verts.v, ROUND(COALESCE(h.s, 0.0), 6) AS hub_r6,
+       ROUND(COALESCE(a.s, 0.0), 6) AS auth_r6
+FROM verts LEFT JOIN h{iters} h ON verts.v = h.v
+           LEFT JOIN a{iters} a ON verts.v = a.v""")
+    return "".join(parts)
+
+
 def _scc_sql() -> str:
     """Exact SCC size histogram via the definition itself: u, v share a
     strongly connected component iff both reach(u,v) and reach(v,u). The
@@ -1630,6 +1669,23 @@ def q_hits_fixed5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salsa_fixed5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA hubs/authorities, 5 stochastic iterations (algos/salsa.py)
+    — oracle-checked against the unrolled SQL twin (_salsa_sql(5)) to
+    round(score, 6); no normalization constants enter (each half-step
+    preserves the L1 sum exactly), so the two engines differ only in
+    summation order."""
+    from montecarlopagerank_spark.algos.salsa import salsa
+
+    e = _string_edges(spark, sf_dir).select("src", "dst")
+    scores, _ = salsa(spark, e, iters=5)
+    return scores.select(
+        "v",
+        F.round("hub", 6).alias("hub_r6"),
+        F.round("auth", 6).alias("auth_r6"),
+    )
+
+
 def q_bfs_hops_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected min-hop distance from the tool vertices, capped at 6
     hops ("everything within 6 clicks of a tool") — oracle-checked
@@ -2526,6 +2582,7 @@ QUERIES = {
     "k_core_2": q_k_core_2,
     "pagerank_personalized_fixed": q_pagerank_personalized_fixed,
     "hits_fixed5": q_hits_fixed5,
+    "salsa_fixed5": q_salsa_fixed5,
     "bfs_hops_tools": q_bfs_hops_tools,
     "sssp_from_tools": q_sssp_from_tools,
     "random_walks_tools": q_random_walks_tools,
@@ -2673,6 +2730,7 @@ FROM sym JOIN deg du ON sym.u = du.u JOIN deg dw ON sym.w = dw.u
     "pagerank_weighted_fixed": _pi_sql(5),
     "pagerank_personalized_fixed": _ppr_sql(5),
     "hits_fixed5": _hits_sql(5),
+    "salsa_fixed5": _salsa_sql(5),
     "bfs_hops_tools": _bfs_sql(6),
     "sssp_from_tools": _sssp_sql(24),
     "random_walks_tools": _walks_sql(6, 2),

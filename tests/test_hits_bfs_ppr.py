@@ -244,3 +244,72 @@ def test_closeness_centrality_hop_cap_and_disconnection(spark):
     c, _ = closeness_centrality(spark, e, lmk, max_hops=2)
     got = {r["v"]: (r["closeness"], r["reached"]) for r in c.collect()}
     assert got == {1: (1.0, 1), 2: (0.5, 1)}  # 3,4 capped; 10,11 absent
+
+
+# ---------------------------------------------------------------------
+# SALSA
+# ---------------------------------------------------------------------
+
+def _salsa_numpy(pairs, iters):
+    n = max(max(a, b) for a, b in pairs) + 1
+    outdeg = np.zeros(n)
+    indeg = np.zeros(n)
+    for a, b in pairs:
+        outdeg[a] += 1
+        indeg[b] += 1
+    hubs = [v for v in range(n) if outdeg[v] > 0]
+    h = np.zeros(n)
+    h[hubs] = 1.0 / len(hubs)
+    a_ = np.zeros(n)
+    for _ in range(iters):
+        a_ = np.zeros(n)
+        for u, v in pairs:
+            a_[v] += h[u] / outdeg[u]
+        h = np.zeros(n)
+        for u, v in pairs:
+            h[u] += a_[v] / indeg[v]
+    return h, a_
+
+
+def test_salsa_matches_numpy_twin(spark):
+    from montecarlopagerank_spark.algos.salsa import salsa
+
+    # multigraph (duplicate edge 0->1), a sink (3), a source (4)
+    pairs = [(0, 1), (0, 1), (0, 2), (1, 2), (2, 0), (4, 3), (2, 3)]
+    scores, info = salsa(spark, edges_df(spark, pairs), iters=5)
+    want_h, want_a = _salsa_numpy(pairs, iters=5)
+    got = {r["v"]: (r["hub"], r["auth"]) for r in scores.collect()}
+    assert set(got) == {0, 1, 2, 3, 4}
+    for v, (hh, aa) in got.items():
+        assert hh == pytest.approx(want_h[v], rel=1e-12, abs=1e-15)
+        assert aa == pytest.approx(want_a[v], rel=1e-12, abs=1e-15)
+    # stochastic-step invariant: every observed half-step sum is 1
+    for sa, sh in info["l1_sums"]:
+        assert sa == pytest.approx(1.0, abs=1e-12)
+        assert sh == pytest.approx(1.0, abs=1e-12)
+    # sink 3 is never a hub, source 4 never an authority
+    assert got[3][0] == 0.0
+    assert got[4][1] == 0.0
+
+
+def test_salsa_cycle_uniform(spark, cycle5):
+    """On a directed 5-cycle every vertex is hub and authority with
+    score exactly 1/5 at every iteration."""
+    from montecarlopagerank_spark.algos.salsa import salsa
+
+    scores, _ = salsa(spark, cycle5, iters=3)
+    for r in scores.collect():
+        assert r["hub"] == pytest.approx(0.2, abs=1e-15)
+        assert r["auth"] == pytest.approx(0.2, abs=1e-15)
+
+
+def test_salsa_isolated_vertices_zero(spark):
+    from montecarlopagerank_spark.algos.salsa import salsa
+
+    e = edges_df(spark, [(0, 1)])
+    verts = spark.createDataFrame([(0,), (1,), (9,)], "vid long")
+    scores, _ = salsa(spark, e, vertices=verts, iters=2)
+    got = {r["v"]: (r["hub"], r["auth"]) for r in scores.collect()}
+    assert got[9] == (0.0, 0.0)
+    assert got[0] == (1.0, 0.0)
+    assert got[1] == (0.0, 1.0)
