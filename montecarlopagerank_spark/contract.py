@@ -1166,6 +1166,58 @@ WHERE rank <= {topk}"""
     )
 
 
+def _sq_sql(dim: int, max_qid: int, topk: int) -> str:
+    """Scalar-quantization twin (pipeline/sq.py): exact MIN/MAX bounds,
+    floor((x-mn)/(mx-mn)*256) clamped codes, midpoint dequantization,
+    cosine left-fold — the same IEEE ops in the same order as the
+    Spark expressions, so codes match exactly and cosines to well
+    under the ROUND 6."""
+
+    def fold(expr: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {dim + 1}), j -> {expr}), "
+            "(p, q) -> p + q)"
+        )
+
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+dims AS (SELECT range AS j FROM range(1, {dim + 1})),
+stats AS MATERIALIZED (
+  SELECT j, MIN(vec[j]) AS mn, MAX(vec[j]) AS mx
+  FROM e CROSS JOIN dims GROUP BY j
+),
+codes AS MATERIALIZED (
+  SELECT e.vec_id, d.j,
+         CASE WHEN s.mx = s.mn THEN 0
+              ELSE LEAST(255, GREATEST(0,
+                CAST(floor((vec[d.j] - s.mn) / (s.mx - s.mn) * 256.0) AS INT)))
+         END AS c
+  FROM e CROSS JOIN dims d JOIN stats s ON d.j = s.j
+),
+deq AS MATERIALIZED (
+  SELECT c.vec_id AS neighbour_id,
+         list(s.mn + (c.c + 0.5) * ((s.mx - s.mn) / 256.0) ORDER BY c.j) AS v
+  FROM codes c JOIN stats s ON c.j = s.j GROUP BY c.vec_id
+),
+qs AS (SELECT vec_id AS query_id, vec AS qv FROM e WHERE vec_id < {max_qid}),
+scored AS (
+  SELECT q.query_id, d.neighbour_id,
+         ROUND({fold('qv[j] * v[j]')}
+               / (sqrt({fold('qv[j] * qv[j]')}) * sqrt({fold('v[j] * v[j]')})),
+               6) AS cos_r6
+  FROM qs q JOIN deq d ON d.neighbour_id <> q.query_id
+)
+SELECT query_id, neighbour_id, cos_r6, rn FROM (
+  SELECT query_id, neighbour_id, cos_r6,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_r6 DESC, neighbour_id) AS INT) AS rn
+  FROM scored)
+WHERE rn <= {topk}"""
+
+
 # ---------------------------------------------------------------------------
 # Spark-side helpers
 # ---------------------------------------------------------------------------
@@ -2483,6 +2535,27 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization (uint8) asymmetric cosine top-10
+    (pipeline/sq.py): ONE-pass min/max train, 1-byte-per-dim encode,
+    full-precision queries vec_id<8 against the dequantized corpus.
+    Hash-checked against a DuckDB twin that replays the identical IEEE
+    arithmetic (exact MIN/MAX bounds → exact floor codes → fixed-order
+    dequant + cosine fold, rounded to 6)."""
+    from montecarlopagerank_spark.pipeline.sq import (
+        sq_encode,
+        sq_topk,
+        sq_train,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    mins, maxes = sq_train(emb)
+    codes = sq_encode(emb, mins, maxes)
+    return sq_topk(
+        spark, codes, mins, maxes, emb.filter(F.col("vec_id") < 8), k=10
+    )
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (pipeline/clustering.py): 10-cell coarse quantizer,
     nprobe=2, cosine top-10 for queries vec_id<16 — the scale-path ANN
@@ -2641,6 +2714,7 @@ QUERIES = {
     "line_dedup_docs": q_line_dedup_docs,
     "kmeans_embeddings": q_kmeans_embeddings,
     "ivf_topk": q_ivf_topk,
+    "sq_topk": q_sq_topk,
     "pq_topk": q_pq_topk,
 }
 
@@ -3446,4 +3520,5 @@ FROM totals t LEFT JOIN kept USING (doc_id)
 """,
     "kmeans_embeddings": _kmeans_sql(10, 3, 64),
     "ivf_topk": _ivf_sql(10, 3, 64, nprobe=2, topk=10, max_qid=16),
+    "sq_topk": _sq_sql(64, max_qid=8, topk=10),
 }
