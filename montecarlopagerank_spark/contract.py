@@ -952,6 +952,50 @@ s{r + 1} AS MATERIALIZED (
     return "".join(parts)
 
 
+def _matching_sql(rounds: int) -> str:
+    """Locally-minimal-edge maximal-matching twin (algos/matching.py):
+    fixed md5 edge priorities, unrolled ``rounds`` rounds over the
+    shrinking live pair set. Past the fixpoint every round is the
+    identity (an empty pair set wins nothing), so ``rounds`` ≥ the
+    engine's convergence depth (4 at sf0.01, 8 leaves margin)
+    reproduces the exact matched-edge set AND each edge's round."""
+    parts = [
+        ("WITH " + SQL_TEDGES[1:]).replace("tedges AS (", "tedges AS MATERIALIZED ("),
+        """,
+p0 AS MATERIALIZED (
+  SELECT x, y, md5(x || '#' || y) || '|' || x || '#' || y AS pri FROM (
+    SELECT DISTINCT least(src, dst) AS x, greatest(src, dst) AS y
+    FROM tedges WHERE src <> dst)
+)""",
+    ]
+    for r in range(rounds):
+        parts.append(f""",
+vm{r} AS (
+  SELECT u, MIN(pri) AS mn FROM (
+    SELECT x AS u, pri FROM p{r} UNION ALL SELECT y, pri FROM p{r})
+  GROUP BY u
+),
+win{r} AS MATERIALIZED (
+  SELECT p.x, p.y FROM p{r} p
+  JOIN vm{r} a ON p.x = a.u AND p.pri = a.mn
+  JOIN vm{r} b ON p.y = b.u AND p.pri = b.mn
+),
+p{r + 1} AS MATERIALIZED (
+  SELECT p.x, p.y, p.pri FROM p{r} p
+  WHERE p.x NOT IN (SELECT x FROM win{r} UNION ALL SELECT y FROM win{r})
+    AND p.y NOT IN (SELECT x FROM win{r} UNION ALL SELECT y FROM win{r})
+)""")
+    parts.append(
+        "\nSELECT x, y, round FROM ("
+        + " UNION ALL ".join(
+            f"SELECT x, y, CAST({r} AS INT) AS round FROM win{r}"
+            for r in range(rounds)
+        )
+        + ")"
+    )
+    return "".join(parts)
+
+
 def _coloring_sql(rounds: int) -> str:
     """Jones-Plassmann greedy-coloring twin (algos/coloring.py): fixed
     md5 priorities, frontier = live vertices with no higher-priority
@@ -2461,6 +2505,22 @@ def q_mis_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mis.select("v")
 
 
+def q_max_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal matching (deterministic locally-minimal-edge,
+    algos/matching.py) of the undirected simple closure — exact edge set
+    AND per-edge round hash-checked against the unrolled twin
+    _matching_sql(8) (sf0.01 converges in 4 rounds; 8 leaves margin, and
+    unrolling past the fixpoint is the identity)."""
+    from montecarlopagerank_spark.algos.matching import maximal_matching
+
+    m, info = maximal_matching(
+        spark, _string_edges(spark, sf_dir).select("src", "dst")
+    )
+    assert info["converged"], f"matching did not converge: {info}"
+    assert info["rounds"] <= 8, f"depth {info['rounds']} exceeds SQL unroll"
+    return m.select("x", "y", "round")
+
+
 def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality flags (pipeline/quality_filters.py): one
     codegen scan, every rule an array expression — hash-checked against
@@ -2707,6 +2767,7 @@ QUERIES = {
     "core_numbers": q_core_numbers,
     "louvain_communities_sizes": q_louvain_communities_sizes,
     "mis_vertices": q_mis_vertices,
+    "max_matching": q_max_matching,
     "gopher_quality_flags": q_gopher_quality_flags,
     "repetition_stats": q_repetition_stats,
     "pii_scrub_events": q_pii_scrub_events,
@@ -3377,6 +3438,7 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN agg USING (doc_id) LEFT JOIN best USING (doc_id)
 """,
     "mis_vertices": _mis_sql(6),
+    "max_matching": _matching_sql(8),
     "gopher_quality_flags": f"""
 WITH base AS (
   SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk, text
