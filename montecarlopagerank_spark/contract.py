@@ -2239,6 +2239,27 @@ def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_counts_batch(_events(spark, sf_dir), window="1 hour")
 
 
+def q_stream_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (streaming/join_stream.py): the
+    events log is staged to parquet (ONE file → one micro-batch, so no
+    row can be late past the watermark), drained through the
+    watermarked view⋈click join, and the sink compared against the
+    plain batch-join SQL — streaming/batch parity on driver data.
+    Multi-batch watermark semantics are pinned separately by
+    tests/test_streaming.py."""
+    import tempfile
+
+    from montecarlopagerank_spark.streaming.join_stream import run_join_stream
+
+    root = tempfile.mkdtemp(prefix="mcpr_vcjoin_")
+    inp, out, ck = (os.path.join(root, d) for d in ("in", "out", "ck"))
+    _events(spark, sf_dir).orderBy("ts").coalesce(1).write.parquet(inp)
+    run_join_stream(spark, inp, out, ck)
+    return spark.read.parquet(out).select(
+        "user_id", "view_id", "click_id", "lag_us"
+    )
+
+
 def q_k_truss_3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-truss of the string-keyed transcript graph: edges in ≥ 1
     triangle after synchronous support peeling (algos/truss.py) —
@@ -2748,6 +2769,7 @@ QUERIES = {
     "asof_last_signup": q_asof_last_signup,
     "range_join_counts": q_range_join_counts,
     "windowed_event_counts": q_windowed_event_counts,
+    "stream_view_click_join": q_stream_view_click_join,
     "hash_split_counts": q_hash_split_counts,
     "mixture_sample_counts": q_mixture_sample_counts,
     "chunk_documents": q_chunk_documents,
@@ -3209,6 +3231,16 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        COUNT(*) AS n_events, MAX(us) - MIN(us) AS duration_us,
        MIN(event_id) AS first_event_id
 FROM sess GROUP BY user_id, session_id
+""",
+    "stream_view_click_join": """
+WITH v AS (SELECT user_id, event_id AS view_id, ts AS vts
+           FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id, event_id AS click_id, ts AS cts
+      FROM events WHERE event_type = 'click')
+SELECT v.user_id, view_id, click_id,
+       epoch_us(cts) - epoch_us(vts) AS lag_us
+FROM v JOIN c ON v.user_id = c.user_id
+     AND cts >= vts AND cts <= vts + INTERVAL 30 MINUTE
 """,
     "windowed_event_counts": """
 SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,

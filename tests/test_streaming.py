@@ -354,3 +354,87 @@ def test_window_stream_counts_late_rows_and_never_revises(spark, tmp_path):
     h3_us = _base_us(spark) + 3 * 3600 * 1_000_000
     late = [r for r in _win_rows(got2) if r[0] == h3_us and r[1] == "view"]
     assert late == [(h3_us, "view", 2, 11.5)]
+
+
+# ---------------------------------------------------------------------
+# stream-stream interval join (streaming/join_stream.py)
+# ---------------------------------------------------------------------
+
+def _jrows(df):
+    return sorted(
+        (r["user_id"], r["view_id"], r["click_id"], r["lag_us"])
+        for r in df.collect()
+    )
+
+
+def _mk_vc_events(spark, rows):
+    """rows: (event_id, minutes_from_origin, user_id, event_type)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    data = [
+        (eid, base + dt.timedelta(minutes=m), uid, et, 1.0, "")
+        for eid, m, uid, et in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+_VC_ROWS = [
+    # user 1: view at 0 catches clicks at 10 and 29, not 31 (horizon 30m)
+    (1, 0, 1, "view"), (2, 10, 1, "click"), (3, 29, 1, "click"),
+    (4, 31, 1, "click"),
+    # user 2: click before its view never matches; view at 40 catches 55
+    (5, 35, 2, "click"), (6, 40, 2, "view"), (7, 55, 2, "click"),
+    # user 3: two views share one click (both pairs emitted)
+    (8, 60, 3, "view"), (9, 70, 3, "view"), (10, 80, 3, "click"),
+    # cross-user never matches
+    (11, 90, 4, "view"), (12, 95, 5, "click"),
+    # noise types are filtered out
+    (13, 91, 4, "purchase"), (14, 92, 4, "error"),
+]
+
+
+def test_join_stream_equals_batch_single_batch(spark, tmp_path):
+    from montecarlopagerank_spark.streaming.join_stream import (
+        run_join_stream,
+        view_click_pairs_batch,
+    )
+
+    ev = _mk_vc_events(spark, _VC_ROWS)
+    inp, out, ck = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    ev.coalesce(1).write.parquet(inp)
+    run_join_stream(spark, inp, out, ck)
+    want = _jrows(view_click_pairs_batch(ev))
+    assert _jrows(spark.read.parquet(out)) == want
+    # sanity: the fixture exercises every rule
+    assert [(u, v, c) for u, v, c, _ in want] == [
+        (1, 1, 2), (1, 1, 3), (2, 6, 7), (3, 8, 10), (3, 9, 10)]
+
+
+def test_join_stream_multibatch_and_incremental(spark, tmp_path):
+    """Time-ordered files drained one per micro-batch (watermark state
+    carried across batches), then NEW files appended and re-drained:
+    the accumulated sink equals the full batch join, each pair exactly
+    once."""
+    from montecarlopagerank_spark.streaming.join_stream import (
+        run_join_stream,
+        view_click_pairs_batch,
+    )
+
+    ev = _mk_vc_events(spark, _VC_ROWS)
+    inp, out, ck = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    # stage chunk 1 (t < 50) and chunk 2 (t >= 50) as separate files
+    c1 = ev.filter(F.col("event_id") <= 6).coalesce(1)
+    c2 = ev.filter(F.col("event_id") > 6).coalesce(1)
+    c1.write.parquet(inp)
+    run_join_stream(spark, inp, out, ck, max_files_per_trigger=1)
+    got1 = _jrows(spark.read.parquet(out))
+    # pairs fully inside chunk 1 are already out
+    assert [(u, v, c) for u, v, c, _ in got1] == [(1, 1, 2), (1, 1, 3)]
+    c2.write.mode("append").parquet(inp)
+    run_join_stream(spark, inp, out, ck, max_files_per_trigger=1)
+    assert _jrows(spark.read.parquet(out)) == _jrows(view_click_pairs_batch(ev))
