@@ -2297,6 +2297,17 @@ def q_hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bottomk_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact uniform 100-doc sample via the bottom-k md5 sketch
+    (pipeline/sampling.py bottomk_sample) — TakeOrderedAndProject, no
+    global sort. Membership is a pure function of the doc_id set, so
+    the DuckDB twin reproduces it row-for-row."""
+    from montecarlopagerank_spark.pipeline.sampling import bottomk_sample
+
+    s = bottomk_sample(_documents(spark, sf_dir), key_col="doc_id", k=100)
+    return s.select("doc_id", "lang", "n_chars")
+
+
 def q_mixture_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source mixture sampling (keep fraction 0.9/0.5/0.2 cycling by
     source index) — a deterministic hash filter, audited as kept-count
@@ -2771,6 +2782,7 @@ QUERIES = {
     "windowed_event_counts": q_windowed_event_counts,
     "stream_view_click_join": q_stream_view_click_join,
     "hash_split_counts": q_hash_split_counts,
+    "bottomk_sample_docs": q_bottomk_sample_docs,
     "mixture_sample_counts": q_mixture_sample_counts,
     "chunk_documents": q_chunk_documents,
     "k_truss_3": q_k_truss_3,
@@ -3271,6 +3283,13 @@ FROM err LEFT JOIN e x ON err.user_id = x.user_id
 GROUP BY err.event_id
 """,
     # thresholds are int(cum_frac * 2^32): 0.8→3435973836, 0.9→3865470566
+    "bottomk_sample_docs": """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+           AS bkt
+  FROM documents ORDER BY bkt, doc_id LIMIT 100)
+""",
     "hash_split_counts": """
 WITH b AS (
   SELECT lang, n_chars,

@@ -129,3 +129,31 @@ def chunk_text(
         F.length(chunk).cast("long").alias("chunk_len"),
         chunk.alias("chunk"),
     )
+
+
+def bottomk_sample(
+    df: DataFrame,
+    *,
+    key_col: str,
+    k: int,
+    salt: str = "sample:",
+) -> DataFrame:
+    """Exact uniform k-sample without replacement: keep the k rows whose
+    ``md5(salt + key)`` bucket is smallest (ties by key). Deterministic
+    — a pure function of the key set, so reruns, engines, and cluster
+    sizes agree row-for-row, and appending new rows perturbs membership
+    only at the bucket boundary (the classic bottom-k sketch property:
+    the sample composes under union by re-taking the bottom k).
+
+    Scale shape: ORDER BY + LIMIT compiles to TakeOrderedAndProject —
+    each partition keeps a k-row heap, the driver merges P·k rows; no
+    global sort, no O(n) shuffle."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    b = hash_bucket(F.col(key_col), salt)
+    return (
+        df.withColumn("_bucket", b)
+        .orderBy("_bucket", key_col)
+        .limit(k)
+        .drop("_bucket")
+    )

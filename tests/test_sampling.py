@@ -119,3 +119,27 @@ def test_chunk_text_validates_args(spark):
     df = docs_df(spark, ["x"])
     with pytest.raises(ValueError):
         chunk_text(df, id_col="doc_id", text_col="text", size=0)
+
+
+def test_bottomk_sample_deterministic_and_composable(spark):
+    from montecarlopagerank_spark.pipeline.sampling import bottomk_sample
+
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(500)], "id long, t string")
+    s1 = sorted(r["id"] for r in bottomk_sample(df, key_col="id", k=50).collect())
+    s2 = sorted(r["id"] for r in bottomk_sample(df, key_col="id", k=50).collect())
+    assert s1 == s2 and len(s1) == 50
+    # python twin: k smallest (md5('sample:'+id) prefix, id)
+    import hashlib
+    def bucket(i):
+        return int(hashlib.md5(f"sample:{i}".encode()).hexdigest()[:8], 16)
+    want = sorted(sorted(range(500), key=lambda i: (bucket(i), i))[:50])
+    assert s1 == want
+    # bottom-k composes under union: bottomk(A ∪ B) == bottomk(bottomk(A) ∪ bottomk(B))
+    a, b = df.filter("id < 250"), df.filter("id >= 250")
+    comp = bottomk_sample(
+        bottomk_sample(a, key_col="id", k=50).unionByName(
+            bottomk_sample(b, key_col="id", k=50)),
+        key_col="id", k=50)
+    assert sorted(r["id"] for r in comp.collect()) == want
+    # k > n degenerates to the full set
+    assert bottomk_sample(df, key_col="id", k=10_000).count() == 500
