@@ -1210,6 +1210,56 @@ WHERE rank <= {topk}"""
     )
 
 
+def _bpe_sql(n_merges: int) -> str:
+    """BPE-training twin (pipeline/bpe.py): the word-type table rendered
+    as padded double-space symbol strings, ``n_merges`` rounds unrolled
+    — per round one pair-count aggregation, a (cnt DESC, l, r) argmax,
+    and a literal replace applying the merge (identical non-overlapping
+    left-to-right semantics in both engines; see the module docstring
+    for why the double separator makes literal replace a correct BPE
+    merge pass)."""
+    parts = ["""WITH w0 AS MATERIALIZED (
+  SELECT ' ' || array_to_string(list_transform(range(1, length(w) + 1),
+                                               i -> w[i]), '  ') || ' ' AS s,
+         freq
+  FROM (SELECT tok AS w, COUNT(*) AS freq FROM (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+          FROM documents) GROUP BY tok)
+)"""]
+    for r in range(n_merges):
+        parts.append(f""",
+c{r} AS (
+  SELECT l, r, SUM(freq) AS cnt FROM (
+    SELECT freq,
+           unnest(list_transform(range(1, len(sy)), i -> sy[i])) AS l,
+           unnest(list_transform(range(1, len(sy)), i -> sy[i + 1])) AS r
+    FROM (SELECT string_split(trim(s), '  ') AS sy, freq FROM w{r})
+    WHERE len(sy) >= 2)
+  GROUP BY l, r
+),
+m{r} AS MATERIALIZED (
+  SELECT l, r, cnt FROM c{r} ORDER BY cnt DESC, l, r LIMIT 1
+),
+w{r + 1} AS MATERIALIZED (
+  SELECT replace(s, ' ' || (SELECT l FROM m{r}) || '  '
+                        || (SELECT r FROM m{r}) || ' ',
+                    ' ' || (SELECT l FROM m{r})
+                        || (SELECT r FROM m{r}) || ' ') AS s,
+         freq
+  FROM w{r}
+)""")
+    parts.append(
+        "\nSELECT merge_rank, lhs, rhs, pair_count FROM ("
+        + " UNION ALL ".join(
+            f"SELECT CAST({r} AS INT) AS merge_rank, l AS lhs, r AS rhs,"
+            f" CAST(cnt AS BIGINT) AS pair_count FROM m{r}"
+            for r in range(n_merges)
+        )
+        + ")"
+    )
+    return "".join(parts)
+
+
 def _sq_sql(dim: int, max_qid: int, topk: int) -> str:
     """Scalar-quantization twin (pipeline/sq.py): exact MIN/MAX bounds,
     floor((x-mn)/(mx-mn)*256) clamped codes, midpoint dequantization,
@@ -1976,6 +2026,22 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_bigrams",
         F.round("cross_entropy", 6).alias("cross_entropy_r6"),
+    )
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 BPE merges learned over the documents corpus
+    (pipeline/bpe.py — word-type table + double-space symbol strings,
+    literal-replace merge application). The learned merge table is a
+    pure function of the corpus, hash-checked against the unrolled
+    DuckDB twin; per-merge application parity is pinned by
+    tests/test_bpe.py against a pure-python Sennrich-style loop."""
+    from montecarlopagerank_spark.pipeline.bpe import bpe_train
+
+    merges, _ = bpe_train(spark, _documents(spark, sf_dir), n_merges=8)
+    return spark.createDataFrame(
+        [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "merge_rank int, lhs string, rhs string, pair_count long",
     )
 
 
@@ -2758,6 +2824,7 @@ QUERIES = {
     "conductance_cc": q_conductance_cc,
     "token_stats": q_token_stats,
     "unigram_lm": q_unigram_lm,
+    "bpe_merges": q_bpe_merges,
     "bigram_lm": q_bigram_lm,
     "turn_latency": q_turn_latency,
     "vocab_stats": q_vocab_stats,
@@ -3059,6 +3126,7 @@ GROUP BY doc_id
 """,
     # interpolation weights written as 0.7 / (1.0 - 0.7) so DuckDB
     # evaluates the same IEEE doubles as the Spark lit()s
+    "bpe_merges": _bpe_sql(8),
     "bigram_lm": r"""
 WITH tk AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
