@@ -1260,6 +1260,19 @@ w{r + 1} AS MATERIALIZED (
     return "".join(parts)
 
 
+def _bpe_total_sql(n_merges: int) -> str:
+    """Same training rounds as _bpe_sql, finishing with the corpus-level
+    segment-count aggregation (q_bpe_token_total's twin)."""
+    body = _bpe_sql(n_merges)
+    cut = body.index("\nSELECT merge_rank")
+    return body[:cut] + f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(freq) AS BIGINT) AS n_words,
+       CAST(SUM(freq * len(string_split(trim(s), '  '))) AS BIGINT)
+         AS n_tokens
+FROM w{n_merges}"""
+
+
 def _sq_sql(dim: int, max_qid: int, topk: int) -> str:
     """Scalar-quantization twin (pipeline/sq.py): exact MIN/MAX bounds,
     floor((x-mn)/(mx-mn)*256) clamped codes, midpoint dequantization,
@@ -2045,6 +2058,26 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_token_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token count under the 8-merge BPE vocabulary
+    (pipeline/bpe.py bpe_segment_counts) — the number every data-mixture
+    budget is denominated in: one row (n_types, n_words, n_tokens).
+    Twin = the same 8 unrolled training rounds + a final segment-count
+    aggregation over the merged word-type table."""
+    from montecarlopagerank_spark.pipeline.bpe import (
+        bpe_segment_counts,
+        bpe_train,
+    )
+
+    _, vocab = bpe_train(spark, _documents(spark, sf_dir), n_merges=8)
+    seg = bpe_segment_counts(vocab)
+    return seg.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("freq").alias("n_words"),
+        F.sum(F.col("freq") * F.col("n_tokens")).alias("n_tokens"),
+    )
+
+
 def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary summary (pipeline/textstats.py
     corpus_vocab_stats) — the EXACT columns only; the HLL approx column
@@ -2825,6 +2858,7 @@ QUERIES = {
     "token_stats": q_token_stats,
     "unigram_lm": q_unigram_lm,
     "bpe_merges": q_bpe_merges,
+    "bpe_token_total": q_bpe_token_total,
     "bigram_lm": q_bigram_lm,
     "turn_latency": q_turn_latency,
     "vocab_stats": q_vocab_stats,
@@ -3127,6 +3161,7 @@ GROUP BY doc_id
     # interpolation weights written as 0.7 / (1.0 - 0.7) so DuckDB
     # evaluates the same IEEE doubles as the Spark lit()s
     "bpe_merges": _bpe_sql(8),
+    "bpe_token_total": _bpe_total_sql(8),
     "bigram_lm": r"""
 WITH tk AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
