@@ -91,23 +91,53 @@ def connected_components(
     edges: DataFrame,
     vertices: DataFrame | None = None,
     max_iters: int = 50,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """``edges(src, dst)`` → ``components(v:long, component:long)`` where
     component = min vid of the vertex's undirected component. Isolated
-    vertices from ``vertices`` get component = own vid."""
+    vertices from ``vertices`` get component = own vid.
+
+    With ``checkpoint_dir``, every star round commits the pair set + a
+    manifest carrying the fixpoint fingerprint (same contract as
+    pagerank_power); ``resume=True`` continues from the last complete
+    round — bit-identical final labels, since each round is a pure
+    function of the committed pair set."""
     store = StateStore(spark)  # flat per-round materializer (state.py)
     def fp(d: dict) -> tuple:
         return (d["n"], d["h1"], d["h2"])
 
-    obs0, cols0 = _pair_stats("cc_init")
-    p = store.materialize(_pairs(edges).observe(obs0, *cols0), "pairs")
-    prev = fp(obs0.get)
-    for it in range(max_iters):
-        obs, cols = _pair_stats(f"cc_round_{it}")
-        p = store.materialize(
-            _small_star(_large_star(p)).observe(obs, *cols), "pairs"
+    ckpt = prev = p = None
+    start, done = 0, False
+    if checkpoint_dir:
+        from montecarlopagerank_spark.operators.checkpoint import (
+            CheckpointManager,
         )
+
+        ckpt = CheckpointManager(spark, checkpoint_dir, {"algo": "cc"})
+        if resume and (last := ckpt.last_complete_step()) is not None:
+            man = ckpt.manifest(last)
+            p = ckpt.load_tables(last, ["pairs"])["pairs"]
+            prev = tuple(man["metrics"]["fingerprint"])
+            done = bool(man["metrics"].get("converged"))
+            start = last + 1
+    if p is None:
+        obs0, cols0 = _pair_stats("cc_init")
+        p = store.materialize(_pairs(edges).observe(obs0, *cols0), "pairs")
+        prev = fp(obs0.get)
+    for it in range(start, max_iters if not done else start):
+        obs, cols = _pair_stats(f"cc_round_{it}")
+        nxt = _small_star(_large_star(p)).observe(obs, *cols)
+        if ckpt:
+            # parquet write = the round's ONE job; manifest commits after
+            p = ckpt.save_step(it, {"pairs": nxt}, {"converged": False})["pairs"]
+        else:
+            p = store.materialize(nxt, "pairs")
         cur = fp(obs.get)
+        if ckpt:
+            ckpt.update_metrics(
+                it, {"fingerprint": list(cur), "converged": cur == prev}
+            )
         if cur == prev:  # fixpoint (see module docstring on checksum safety)
             break
         prev = cur

@@ -30,8 +30,16 @@ def label_propagation(
     edges: DataFrame,
     vertices: DataFrame | None = None,
     max_iters: int = 20,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
 ) -> DataFrame:
-    """``edges(src,dst)`` → ``labels(v:long, label:long)``."""
+    """``edges(src,dst)`` → ``labels(v:long, label:long)``.
+
+    With ``checkpoint_dir``, every superstep commits the label table + a
+    manifest (same contract as pagerank_power/connected_components);
+    ``resume=True`` continues from the last complete superstep —
+    identical final labels, since a synchronous LPA step is a pure
+    function of the committed label table."""
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     e = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     sym = (
@@ -52,11 +60,23 @@ def label_propagation(
         else sym.select("u").withColumnRenamed("u", "v").distinct()
     )
     store = StateStore(spark)  # flat per-superstep materializer (state.py)
-    labels = store.materialize(
-        verts.select("v", F.col("v").alias("label")), "labels"
-    )
+    ckpt, labels, start, done = None, None, 0, False
+    if checkpoint_dir:
+        from montecarlopagerank_spark.operators.checkpoint import (
+            CheckpointManager,
+        )
 
-    for it in range(max_iters):
+        ckpt = CheckpointManager(spark, checkpoint_dir, {"algo": "lpa"})
+        if resume and (last := ckpt.last_complete_step()) is not None:
+            labels = ckpt.load_tables(last, ["labels"])["labels"]
+            done = bool(ckpt.manifest(last)["metrics"].get("converged"))
+            start = last + 1
+    if labels is None:
+        labels = store.materialize(
+            verts.select("v", F.col("v").alias("label")), "labels"
+        )
+
+    for it in range(start, max_iters if not done else start):
         # shuffle_hash on the O(V) label side: without the hint the
         # planner picks sort-merge and re-SORTS the cached O(E) symmetric
         # edge table every superstep — the repartition above avoids the
@@ -94,14 +114,20 @@ def label_propagation(
         # changed-count rides the write job as an observed metric — one
         # Spark job per superstep, no separate count() action
         obs = Observation(f"lpa_step_{it}")
-        updated = store.materialize(
-            updated.observe(
-                obs, F.sum(F.when(F.col("changed"), 1).otherwise(0)).alias("nc")
-            ).select("v", "label"),
-            "labels",
-        )
-        labels = updated
-        if int(obs.get["nc"] or 0) == 0:
+        observed = updated.observe(
+            obs, F.sum(F.when(F.col("changed"), 1).otherwise(0)).alias("nc")
+        ).select("v", "label")
+        if ckpt:
+            # parquet write = the superstep's ONE job; manifest after
+            labels = ckpt.save_step(
+                it, {"labels": observed}, {"converged": False}
+            )["labels"]
+        else:
+            labels = store.materialize(observed, "labels")
+        nc = int(obs.get["nc"] or 0)
+        if ckpt:
+            ckpt.update_metrics(it, {"n_changed": nc, "converged": nc == 0})
+        if nc == 0:
             break
     sym.unpersist()
     return labels

@@ -75,3 +75,49 @@ def test_mc_resume_identical(spark, gnutella_mini, tmp_path):
         checkpoint_dir=part_dir, resume=True)
     assert info["iterations"] == 8
     assert ranks_dict(full) == ranks_dict(resumed)
+
+
+def test_cc_resume_identical(spark, gnutella_mini, tmp_path):
+    """Interrupt CC after 2 star rounds; resume must land on labels
+    identical to the uninterrupted run (each round is a pure function of
+    the committed pair set)."""
+    from montecarlopagerank_spark.algos.components import connected_components
+
+    def labels(df):
+        return {r["v"]: r["component"] for r in df.collect()}
+
+    full = labels(connected_components(spark, gnutella_mini))
+    part_dir = str(tmp_path / "cc")
+    partial = connected_components(
+        spark, gnutella_mini, max_iters=2, checkpoint_dir=part_dir
+    )
+    partial.count()
+    resumed = connected_components(
+        spark, gnutella_mini, checkpoint_dir=part_dir, resume=True
+    )
+    assert labels(resumed) == full
+    # resume on the converged checkpoint is a no-op (no extra rounds)
+    again = connected_components(
+        spark, gnutella_mini, checkpoint_dir=part_dir, resume=True
+    )
+    assert labels(again) == full
+
+
+def test_lpa_resume_identical(spark, gnutella_mini, tmp_path):
+    """Interrupt LPA after 2 supersteps; resume must land on labels
+    identical to the uninterrupted run."""
+    from montecarlopagerank_spark.algos.labelprop import label_propagation
+
+    def labels(df):
+        return {r["v"]: r["label"] for r in df.collect()}
+
+    full = labels(label_propagation(spark, gnutella_mini, max_iters=10))
+    part_dir = str(tmp_path / "lpa")
+    label_propagation(
+        spark, gnutella_mini, max_iters=2, checkpoint_dir=part_dir
+    ).count()
+    resumed = label_propagation(
+        spark, gnutella_mini, max_iters=10, checkpoint_dir=part_dir,
+        resume=True,
+    )
+    assert labels(resumed) == full
