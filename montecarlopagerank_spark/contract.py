@@ -2338,6 +2338,21 @@ def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_counts_batch(_events(spark, sf_dir), window="1 hour")
 
 
+def q_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING 1h windows every 15min (streaming/window_stream.py
+    sliding_counts_batch): each event lands in 4 overlapping windows.
+    The DuckDB twin derives each event's window starts with integer
+    epoch arithmetic (floor((t−size)/slide)+1 .. floor(t/slide), ×slide)
+    — the same assignment Spark's F.window(size, slide) materializes."""
+    from montecarlopagerank_spark.streaming.window_stream import (
+        sliding_counts_batch,
+    )
+
+    return sliding_counts_batch(
+        _events(spark, sf_dir), window="1 hour", slide="15 minutes"
+    )
+
+
 def q_stream_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join (streaming/join_stream.py): the
     events log is staged to parquet (ONE file → one micro-batch, so no
@@ -2881,6 +2896,7 @@ QUERIES = {
     "asof_last_signup": q_asof_last_signup,
     "range_join_counts": q_range_join_counts,
     "windowed_event_counts": q_windowed_event_counts,
+    "sliding_event_counts": q_sliding_event_counts,
     "stream_view_click_join": q_stream_view_click_join,
     "hash_split_counts": q_hash_split_counts,
     "bottomk_sample_docs": q_bottomk_sample_docs,
@@ -3346,6 +3362,18 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        COUNT(*) AS n_events, MAX(us) - MIN(us) AS duration_us,
        MIN(event_id) AS first_event_id
 FROM sess GROUP BY user_id, session_id
+""",
+    "sliding_event_counts": """
+WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+x AS (
+  SELECT unnest(range(
+           (us - 3600000000) // 900000000 + 1,
+           us // 900000000 + 1)) * 900000000 AS window_start_us,
+         event_type, value
+  FROM e)
+SELECT window_start_us, event_type, COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value_r6
+FROM x GROUP BY 1, 2
 """,
     "stream_view_click_join": """
 WITH v AS (SELECT user_id, event_id AS view_id, ts AS vts

@@ -83,6 +83,7 @@ def run_window_stream(
     checkpoint_dir: str,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> None:
     """Drain ``input_dir`` (parquet event-log directory, append-only)
     with ``availableNow`` and append each CLOSED window's aggregate to
@@ -92,9 +93,10 @@ def run_window_stream(
     windows (checkpoint carries the open-window state and the file
     high-water mark)."""
     src = spark.readStream.schema(EVENT_SCHEMA).parquet(input_dir)
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
     agg = (
         src.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window), "event_type")
+        .groupBy(win, "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 6).alias("sum_value_r6"),
@@ -116,4 +118,28 @@ def run_window_stream(
         .trigger(availableNow=True)
         .start()
         .awaitTermination()
+    )
+
+
+def sliding_counts_batch(
+    events: DataFrame, window: str = "1 hour", slide: str = "15 minutes"
+) -> DataFrame:
+    """Batch twin of the SLIDING-window aggregation (``F.window`` with a
+    slide < size assigns each event to size/slide overlapping windows —
+    Spark materializes the assignment as an internal explode, still
+    whole-stage codegen). Output shape matches windowed_counts_batch."""
+    return (
+        events.groupBy(F.window("ts", window, slide), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value_r6"),
+        )
+        .select(
+            (F.unix_timestamp(F.col("window.start")) * F.lit(1000000))
+            .cast("long")
+            .alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value_r6",
+        )
     )

@@ -438,3 +438,32 @@ def test_join_stream_multibatch_and_incremental(spark, tmp_path):
     c2.write.mode("append").parquet(inp)
     run_join_stream(spark, inp, out, ck, max_files_per_trigger=1)
     assert _jrows(spark.read.parquet(out)) == _jrows(view_click_pairs_batch(ev))
+
+
+def test_sliding_window_stream_equals_closed_batch_windows(spark, tmp_path):
+    """Sliding (1h every 15m) availableNow drain: the sink must equal the
+    batch sliding aggregation restricted to windows whose END <= event-
+    time high-water minus the 2h watermark (closed windows only)."""
+    from montecarlopagerank_spark.streaming.window_stream import (
+        run_window_stream,
+        sliding_counts_batch,
+    )
+
+    rows = [(i, 15 * i, "view" if i % 2 else "click", float(i)) for i in range(40)]
+    ev = _mk_events(spark, rows)
+    inp, out, ck = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    ev.coalesce(1).write.parquet(inp)
+    run_window_stream(spark, inp, out, ck, slide="15 minutes")
+    base = _base_us(spark)
+    hi_us = base + 15 * 39 * 60_000_000  # event-time high water
+    cutoff = hi_us - 2 * 3600_000_000  # watermark
+    want = sorted(
+        (r["window_start_us"], r["event_type"], r["n_events"], r["sum_value_r6"])
+        for r in sliding_counts_batch(ev, "1 hour", "15 minutes").collect()
+        if r["window_start_us"] + 3600_000_000 <= cutoff
+    )
+    got = sorted(
+        (r["window_start_us"], r["event_type"], r["n_events"], r["sum_value_r6"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == want and len(got) > 0
