@@ -294,6 +294,13 @@ def main() -> None:
         extra["mis_size"] = m.count()
     extra["mis_rounds"] = minfo["rounds"]
 
+    with timed("max_matching"):
+        from montecarlopagerank_spark.algos.matching import maximal_matching
+
+        mm, mminfo = maximal_matching(spark, edges)
+        extra["matching_size"] = mminfo["n_matched"]
+    extra["matching_rounds"] = mminfo["rounds"]
+
     with timed("core_numbers"):
         from montecarlopagerank_spark.algos.corenum import core_numbers
 
@@ -374,6 +381,50 @@ def main() -> None:
             spark, emb, emb.filter("vec_id < 16"),
             k=10, nprobe=2, n_clusters=10, iters=3,
         ).count()
+
+    with timed("sq_pq_topk"):
+        from montecarlopagerank_spark.pipeline.pq import (
+            pq_adc_topk, pq_encode, pq_train)
+        from montecarlopagerank_spark.pipeline.sq import (
+            sq_encode, sq_topk, sq_train)
+
+        mins, maxes = sq_train(emb)
+        sq_topk(spark, sq_encode(emb, mins, maxes), mins, maxes,
+                emb.filter("vec_id < 16"), k=10).count()
+        book = pq_train(spark, emb, m=4, k=16, iters=2)
+        pq_adc_topk(spark, pq_encode(emb, book, m=4), book,
+                    emb.filter("vec_id < 16"), m=4, k=10).count()
+
+    with timed("bpe_train_8"):
+        from montecarlopagerank_spark.pipeline.bpe import (
+            bpe_segment_counts, bpe_train)
+
+        _merges, vocab = bpe_train(spark, docs, n_merges=8)
+        extra["bpe_tokens"] = int(
+            bpe_segment_counts(vocab)
+            .agg(F.sum(F.col("freq") * F.col("n_tokens")))
+            .collect()[0][0]
+        )
+
+    with timed("window_streams"):
+        import tempfile as _tf
+
+        from montecarlopagerank_spark.streaming.join_stream import (
+            run_join_stream)
+        from montecarlopagerank_spark.streaming.window_stream import (
+            run_window_stream)
+
+        _root = _tf.mkdtemp(prefix="bench_streams_")
+        _inp = os.path.join(_root, "in")
+        (spark.read.parquet(f"{sf_dir}/events.parquet")
+         .orderBy("ts").coalesce(4).write.parquet(_inp))
+        run_window_stream(spark, _inp, os.path.join(_root, "w_out"),
+                          os.path.join(_root, "w_ck"))
+        run_join_stream(spark, _inp, os.path.join(_root, "j_out"),
+                        os.path.join(_root, "j_ck"))
+        extra["stream_join_pairs"] = (
+            spark.read.parquet(os.path.join(_root, "j_out")).count()
+        )
 
     with timed("contamination"):
         from montecarlopagerank_spark.contract import CONTAM_CUT
