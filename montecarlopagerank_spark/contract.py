@@ -1365,6 +1365,45 @@ def q_transcripts_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _roundtrip_view(df: DataFrame) -> DataFrame:
+    return df.select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+    )
+
+
+def q_transcripts_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcripts staged through the JSON-lines sink+source
+    (sources/transcripts.py): the read-back table must hash-match the
+    SAME oracle as transcripts_view — per-turn text byte-identical and
+    timestamps microsecond-exact through the interchange format."""
+    import tempfile
+
+    from montecarlopagerank_spark.sources.transcripts import (
+        read_transcripts_jsonl,
+        write_transcripts_jsonl,
+    )
+
+    p = os.path.join(tempfile.mkdtemp(prefix="mcpr_jsonl_"), "t")
+    write_transcripts_jsonl(transcripts_from_events(spark, sf_dir), p)
+    return _roundtrip_view(read_transcripts_jsonl(spark, p))
+
+
+def q_transcripts_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcripts staged through the ORC sink+source — same contract as
+    the JSONL roundtrip (shared transcripts_view oracle)."""
+    import tempfile
+
+    from montecarlopagerank_spark.sources.transcripts import (
+        read_transcripts_orc,
+        write_transcripts_orc,
+    )
+
+    p = os.path.join(tempfile.mkdtemp(prefix="mcpr_orc_"), "t")
+    write_transcripts_orc(transcripts_from_events(spark, sf_dir), p)
+    return _roundtrip_view(read_transcripts_orc(spark, p))
+
+
 def q_edge_counts_by_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _string_edges(spark, sf_dir)
@@ -2834,6 +2873,8 @@ def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "transcripts_view": q_transcripts_view,
+    "transcripts_jsonl_roundtrip": q_transcripts_jsonl_roundtrip,
+    "transcripts_orc_roundtrip": q_transcripts_orc_roundtrip,
     "edge_counts_by_kind": q_edge_counts_by_kind,
     "edges_streaming_counts": q_edges_streaming_counts,
     "turn_chain_edges": q_turn_chain_edges,
@@ -3766,3 +3807,7 @@ FROM totals t LEFT JOIN kept USING (doc_id)
     "ivf_topk": _ivf_sql(10, 3, 64, nprobe=2, topk=10, max_qid=16),
     "sq_topk": _sq_sql(64, max_qid=8, topk=10),
 }
+
+# the roundtrip queries must reproduce the base view exactly
+ORACLE_SQL["transcripts_jsonl_roundtrip"] = ORACLE_SQL["transcripts_view"]
+ORACLE_SQL["transcripts_orc_roundtrip"] = ORACLE_SQL["transcripts_view"]

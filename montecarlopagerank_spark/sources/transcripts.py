@@ -68,3 +68,65 @@ def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_id") % 3 == 0, F.col("event_type")).alias("tool"),
         F.col("ts"),
     )
+
+
+# ts is TIMESTAMP_NTZ: the canonical parquet layout stores naive event
+# time (no zone), and the JSONL interchange keeps that exact semantic
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string,"
+    " ts timestamp_ntz"
+)
+
+# ISO-8601 with microseconds — JSON lines keep full timestamp fidelity.
+# Spark routes TIMESTAMP (LTZ) columns through timestampFormat and
+# TIMESTAMP_NTZ columns through timestampNTZFormat — set BOTH, or an NTZ
+# input (parquet timestamps are commonly NTZ) silently falls back to the
+# millisecond default and the roundtrip loses microseconds.
+_JSON_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+_JSON_TS_NTZ_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+
+def write_transcripts_jsonl(df: DataFrame, path: str) -> None:
+    """JSON-lines sink (the interchange format transcripts usually arrive
+    in). Timestamps serialize ISO-8601 with microseconds so a roundtrip
+    is lossless; everything else is plain JSON scalars."""
+    (
+        # normalize to NTZ on write (inputs arrive as either LTZ or NTZ;
+        # the interchange format carries ONE semantic — naive event time)
+        df.select(
+            "conv_id", "turn_idx", "role", "text", "tool",
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+        )
+        .write.mode("overwrite")
+        .option("timestampFormat", _JSON_TS_FMT)
+        .option("timestampNTZFormat", _JSON_TS_NTZ_FMT)
+        .json(path)
+    )
+
+
+def read_transcripts_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """JSON-lines source with the authoritative schema enforced (never
+    inferred — schema inference costs an extra full pass at 100 TB and
+    can mistype sparse columns like ``tool``)."""
+    return (
+        spark.read.schema(TRANSCRIPT_SCHEMA)
+        .option("timestampFormat", _JSON_TS_FMT)
+        .option("timestampNTZFormat", _JSON_TS_NTZ_FMT)
+        .json(path)
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    )
+
+
+def write_transcripts_orc(df: DataFrame, path: str) -> None:
+    """ORC sink (the other columnar warehouse format Spark ships
+    natively); same bucket layout rationale as the parquet writer."""
+    df.select("conv_id", "turn_idx", "role", "text", "tool", "ts").write.mode(
+        "overwrite"
+    ).orc(path)
+
+
+def read_transcripts_orc(spark: SparkSession, path: str) -> DataFrame:
+    return (
+        spark.read.orc(path)
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    )

@@ -71,3 +71,36 @@ def test_transcripts_from_events(spark):
     assert ts.count() > 0
     dup = ts.groupBy("conv_id", "turn_idx").count().filter("count > 1").count()
     assert dup == 0
+
+
+def test_transcripts_jsonl_roundtrip_lossless(spark, tmp_path):
+    """JSONL sink → source must be lossless: byte-identical text,
+    microsecond-exact timestamps (both TIMESTAMP_NTZ semantics), nulls
+    in sparse columns preserved."""
+    from montecarlopagerank_spark.sources.transcripts import (
+        read_transcripts_jsonl,
+        write_transcripts_jsonl,
+    )
+
+    ts = transcripts_df(spark, n_convs=30, seed=11)
+    p = str(tmp_path / "jsonl")
+    write_transcripts_jsonl(ts, p)
+    back = read_transcripts_jsonl(spark, p)
+    a = sorted(map(tuple, ts.select(*back.columns).collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_transcripts_orc_roundtrip_lossless(spark, tmp_path):
+    from montecarlopagerank_spark.sources.transcripts import (
+        read_transcripts_orc,
+        write_transcripts_orc,
+    )
+
+    ts = transcripts_df(spark, n_convs=30, seed=12)
+    p = str(tmp_path / "orc")
+    write_transcripts_orc(ts, p)
+    back = read_transcripts_orc(spark, p)
+    a = sorted(map(tuple, ts.select(*back.columns).collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
