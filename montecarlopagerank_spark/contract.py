@@ -1867,6 +1867,16 @@ def q_hits_fixed5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vertex_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex neighborhood feature table (operators/edges.py
+    vertex_features) over the string-keyed transcript graph — the
+    link-prediction / GNN feature-engineering pass, hash-checked
+    against a direct SQL twin."""
+    from montecarlopagerank_spark.operators.edges import vertex_features
+
+    return vertex_features(_string_edges(spark, sf_dir).select("src", "dst"))
+
+
 def q_salsa_fixed5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SALSA hubs/authorities, 5 stochastic iterations (algos/salsa.py)
     — oracle-checked against the unrolled SQL twin (_salsa_sql(5)) to
@@ -2903,6 +2913,7 @@ QUERIES = {
     "pagerank_personalized_fixed": q_pagerank_personalized_fixed,
     "hits_fixed5": q_hits_fixed5,
     "salsa_fixed5": q_salsa_fixed5,
+    "vertex_features": q_vertex_features,
     "bfs_hops_tools": q_bfs_hops_tools,
     "sssp_from_tools": q_sssp_from_tools,
     "random_walks_tools": q_random_walks_tools,
@@ -3058,6 +3069,32 @@ FROM sym JOIN deg du ON sym.u = du.u JOIN deg dw ON sym.w = dw.u
     "pagerank_personalized_fixed": _ppr_sql(5),
     "hits_fixed5": _hits_sql(5),
     "salsa_fixed5": _salsa_sql(5),
+    "vertex_features": """
+WITH """ + SQL_TEDGES[1:] + """,
+p AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS x, greatest(src, dst) AS y
+  FROM tedges WHERE src <> dst
+),
+sym AS MATERIALIZED (
+  SELECT x AS u, y AS w FROM p UNION ALL SELECT y, x FROM p
+),
+deg AS MATERIALIZED (SELECT u AS v, COUNT(*) AS deg FROM sym GROUP BY u),
+od AS (SELECT src AS v, COUNT(*) AS out_deg FROM tedges GROUP BY src),
+idg AS (SELECT dst AS v, COUNT(*) AS in_deg FROM tedges GROUP BY dst),
+nbr AS (
+  SELECT s.u AS v, ROUND(AVG(d.deg), 6) AS mean_nbr_deg,
+         SUM(d.deg - 1) AS wedges
+  FROM sym s JOIN deg d ON s.w = d.v GROUP BY s.u
+),
+verts AS (SELECT src AS v FROM tedges UNION SELECT dst FROM tedges)
+SELECT verts.v, COALESCE(od.out_deg, 0) AS out_deg,
+       COALESCE(idg.in_deg, 0) AS in_deg,
+       COALESCE(deg.deg, 0) AS deg,
+       COALESCE(nbr.mean_nbr_deg, 0.0) AS mean_nbr_deg,
+       COALESCE(nbr.wedges, 0) AS wedges
+FROM verts LEFT JOIN od USING (v) LEFT JOIN idg USING (v)
+     LEFT JOIN deg USING (v) LEFT JOIN nbr USING (v)
+""",
     "bfs_hops_tools": _bfs_sql(6),
     "sssp_from_tools": _sssp_sql(24),
     "random_walks_tools": _walks_sql(6, 2),

@@ -174,3 +174,50 @@ def degrees(edges: DataFrame, vertices: DataFrame | None = None) -> DataFrame:
             F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
         )
     )
+
+
+def vertex_features(edges: DataFrame) -> DataFrame:
+    """Per-vertex neighborhood feature table — the standard feature-
+    engineering pass before link prediction / GNN training / anomaly
+    screens: ``(v, out_deg, in_deg, deg, mean_nbr_deg, wedges)`` where
+    ``deg`` counts distinct undirected neighbors, ``mean_nbr_deg`` is the
+    average undirected degree over them (the per-vertex assortativity
+    signal), and ``wedges`` = Σ_w (deg(w) − 1) counts 2-paths ending at v
+    (the denominator family for clustering/triangle rates).
+
+    Scale shape: one distinct over the pair set, two map-side-combined
+    degree aggs, and ONE degree join keyed by the neighbor side (O(E)
+    rows but `shuffle_hash` against the O(V) degree table — never a
+    broadcast, never a wedge enumeration: Σ(deg−1) needs the degree
+    table, not the Ω(Σd²) wedge join)."""
+    from montecarlopagerank_spark.algos.components import _pairs
+
+    p = _pairs(edges)
+    sym = p.select(F.col("x").alias("u"), F.col("y").alias("w")).unionByName(
+        p.select(F.col("y").alias("u"), F.col("x").alias("w"))
+    )
+    deg = sym.groupBy(F.col("u").alias("v")).agg(F.count("*").alias("deg"))
+    nbr = (
+        sym.join(
+            deg.withColumnRenamed("v", "w")
+            .withColumnRenamed("deg", "wdeg")
+            .hint("shuffle_hash"),
+            "w",
+        )
+        .groupBy(F.col("u").alias("v"))
+        .agg(
+            F.round(F.avg("wdeg"), 6).alias("mean_nbr_deg"),
+            F.sum(F.col("wdeg") - F.lit(1)).alias("wedges"),
+        )
+    )
+    return (
+        degrees(edges)
+        .join(deg.hint("shuffle_hash"), "v", "left")
+        .join(nbr.hint("shuffle_hash"), "v", "left")
+        .select(
+            "v", "out_deg", "in_deg",
+            F.coalesce("deg", F.lit(0)).alias("deg"),
+            F.coalesce("mean_nbr_deg", F.lit(0.0)).alias("mean_nbr_deg"),
+            F.coalesce("wedges", F.lit(0)).alias("wedges"),
+        )
+    )

@@ -140,3 +140,21 @@ def test_text_byte_identity_through_pipeline(spark, tmp_path):
         vertices.filter("kind='turn'"), "key", "left"
     ).select("conv_id", "turn_idx", "text")
     assert sha_of_turns(joined) == before
+
+
+def test_vertex_features_closed_form(spark):
+    """Star 0-{1,2,3} plus a dangling self-loop vertex: every feature has
+    a closed form."""
+    from montecarlopagerank_spark.operators.edges import vertex_features
+
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (3, 0), (4, 4), (0, 1)], "src long, dst long"
+    )
+    got = {r["v"]: r for r in vertex_features(e).collect()}
+    c = got[0]
+    assert (c["out_deg"], c["in_deg"], c["deg"]) == (3, 1, 3)
+    assert c["mean_nbr_deg"] == 1.0 and c["wedges"] == 0
+    leaf = got[1]
+    assert (leaf["deg"], leaf["mean_nbr_deg"], leaf["wedges"]) == (1, 3.0, 2)
+    lonely = got[4]  # self-loop only: no undirected neighbors
+    assert (lonely["deg"], lonely["mean_nbr_deg"], lonely["wedges"]) == (0, 0.0, 0)
