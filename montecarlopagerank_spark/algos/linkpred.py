@@ -150,3 +150,94 @@ def adamic_adar_topk(
         .orderBy(F.desc("aa_r6"), F.desc("common"), F.asc("a"), F.asc("b"))
         .limit(k)
     )
+
+
+def negative_edges(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int = 5,
+    oversample: int = 3,
+    salt: str = "neg:",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Deterministic NEGATIVE sampling for link-prediction training data:
+    for each source vertex, up to ``k`` vertices it has NO directed edge
+    to — ``(src, dst, neg_rank)``. The other half of the training set
+    next to linkpred/Adamic-Adar positives (every GNN / link-prediction
+    trainer consumes (positive, negative) pairs).
+
+    Candidate dst = the vertex at dense index md5(salt+src+'#'+j) mod n,
+    j = 0..k·oversample−1 — a pure function of the key set, so reruns,
+    engines, and cluster sizes produce identical samples. Collisions
+    with real edges and self-pairs are dropped; the first k surviving j
+    win (a high-out-degree src can fall short of k — deterministic,
+    never padded).
+
+    Scale shape: the dense vertex index is built with the same bucketed
+    two-phase scheme as operators/edges.build_vertex_dict — md5 bucket →
+    per-bucket row_number → offset prefix-sum (never a single-partition
+    global sort) — and global index == position in (bucket, v) lexical
+    order, which is ONE window in the DuckDB twin. Candidates explode
+    k·oversample rows per src (O(V) total), join the O(V) index table
+    and anti-join the edge set, all `shuffle_hash`."""
+    from pyspark.sql import Window
+
+    from montecarlopagerank_spark.pipeline.sampling import hash_bucket
+
+    verts = (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    bucketed = verts.withColumn(
+        "bucket", F.pmod(hash_bucket(F.col("v"), "vidx:"), F.lit(n_buckets))
+    )
+    wb = Window.partitionBy("bucket").orderBy("v")
+    local = bucketed.withColumn("rn", F.row_number().over(wb))
+    offs = (
+        local.groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "offset",
+            F.sum("cnt").over(
+                Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+        )
+        .select("bucket", F.coalesce("offset", F.lit(0)).alias("offset"))
+    )
+    index = local.join(offs, "bucket").select(
+        "v", (F.col("offset") + F.col("rn") - 1).alias("idx")
+    )
+    n = index.count()
+    m = k * oversample
+    cand = (
+        edges.select("src")
+        .distinct()
+        .select("src", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j"))
+        .withColumn(
+            "cidx",
+            F.pmod(
+                hash_bucket(
+                    F.concat(F.col("src").cast("string"), F.lit("#"), F.col("j")),
+                    salt,
+                ),
+                F.lit(n),
+            ),
+        )
+        .join(
+            index.withColumnRenamed("idx", "cidx")
+            .withColumnRenamed("v", "dst")
+            .hint("shuffle_hash"),
+            "cidx",
+        )
+        .filter(F.col("dst") != F.col("src"))
+        .join(edges.select("src", "dst").distinct(), ["src", "dst"], "left_anti")
+    )
+    ws = Window.partitionBy("src").orderBy("j")
+    return (
+        cand.withColumn("neg_rank", F.row_number().over(ws))
+        .filter(F.col("neg_rank") <= k)
+        .select("src", "dst", "neg_rank")
+    )

@@ -1867,6 +1867,19 @@ def q_hits_fixed5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_negative_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling (algos/linkpred.py
+    negative_edges): ≤5 hash-derived non-edges per source vertex — the
+    negative half of a link-prediction training set. Hash-checked
+    against a DuckDB twin replaying the identical md5 index + candidate
+    arithmetic (global index == ROW_NUMBER over (md5 bucket, key))."""
+    from montecarlopagerank_spark.algos.linkpred import negative_edges
+
+    return negative_edges(
+        spark, _string_edges(spark, sf_dir).select("src", "dst"), k=5
+    )
+
+
 def q_vertex_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex neighborhood feature table (operators/edges.py
     vertex_features) over the string-keyed transcript graph — the
@@ -2914,6 +2927,7 @@ QUERIES = {
     "hits_fixed5": q_hits_fixed5,
     "salsa_fixed5": q_salsa_fixed5,
     "vertex_features": q_vertex_features,
+    "negative_edges": q_negative_edges,
     "bfs_hops_tools": q_bfs_hops_tools,
     "sssp_from_tools": q_sssp_from_tools,
     "random_walks_tools": q_random_walks_tools,
@@ -3069,6 +3083,36 @@ FROM sym JOIN deg du ON sym.u = du.u JOIN deg dw ON sym.w = dw.u
     "pagerank_personalized_fixed": _ppr_sql(5),
     "hits_fixed5": _hits_sql(5),
     "salsa_fixed5": _salsa_sql(5),
+    "negative_edges": """
+WITH """ + SQL_TEDGES[1:] + """,
+de AS MATERIALIZED (SELECT DISTINCT src, dst FROM tedges),
+verts AS (SELECT src AS v FROM de UNION SELECT dst FROM de),
+vindex AS MATERIALIZED (
+  SELECT v, ROW_NUMBER() OVER (
+    ORDER BY ('0x' || substr(md5('vidx:' || v), 1, 8))::UBIGINT % 1024, v
+  ) - 1 AS idx
+  FROM verts
+),
+nn AS (SELECT COUNT(*) AS n FROM vindex),
+cand AS (
+  SELECT s.src, t.j,
+         ('0x' || substr(md5('neg:' || s.src || '#' || CAST(t.j AS VARCHAR)),
+                         1, 8))::UBIGINT % nn.n AS cidx
+  FROM (SELECT DISTINCT src FROM de) s
+       CROSS JOIN (SELECT range AS j FROM range(0, 15)) t, nn
+),
+joined AS (
+  SELECT c.src, i.v AS dst, c.j
+  FROM cand c JOIN vindex i ON c.cidx = i.idx
+  WHERE i.v <> c.src
+    AND NOT EXISTS (SELECT 1 FROM de WHERE de.src = c.src AND de.dst = i.v)
+)
+SELECT src, dst, CAST(neg_rank AS INT) AS neg_rank FROM (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY j) AS neg_rank
+  FROM joined)
+WHERE neg_rank <= 5
+""",
     "vertex_features": """
 WITH """ + SQL_TEDGES[1:] + """,
 p AS MATERIALIZED (

@@ -141,3 +141,38 @@ def test_adamic_adar_hub_cap_excludes_mediator(spark):
            adamic_adar_topk(spark, e, k=500, max_apex_degree=5).collect()}
     assert (0, 1) in got
     assert not any(a >= 2 and b <= 9 for a, b in got if (a, b) != (0, 1))
+
+
+def test_negative_edges_deterministic_valid(spark):
+    """Sampled pairs are never real edges or self-pairs, ranks are
+    1..k contiguous per src, and a python twin reproduces them exactly."""
+    import hashlib
+
+    from montecarlopagerank_spark.algos.linkpred import negative_edges
+
+    pairs = [(i, (i * 7 + 1) % 20) for i in range(20)] + [(0, 5), (3, 9)]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    got = negative_edges(spark, e, k=3, oversample=4).collect()
+
+    def bucket(s, salt):
+        return int(hashlib.md5((salt + s).encode()).hexdigest()[:8], 16)
+
+    verts = sorted({v for p in pairs for v in p},
+                   key=lambda v: (bucket(str(v), "vidx:") % 1024, v))
+    real = set(pairs)
+    want = {}
+    for s in sorted({a for a, _ in pairs}):
+        out = []
+        for j in range(12):
+            d = verts[bucket(f"{s}#{j}", "neg:") % len(verts)]
+            if d != s and (s, d) not in real:
+                out.append(d)
+            if len(out) == 3:
+                break
+        want[s] = out
+    got_by_src = {}
+    for r in sorted(got, key=lambda r: (r["src"], r["neg_rank"])):
+        got_by_src.setdefault(r["src"], []).append(r["dst"])
+    assert got_by_src == {s: o for s, o in want.items() if o}
+    for r in got:
+        assert (r["src"], r["dst"]) not in real and r["src"] != r["dst"]
