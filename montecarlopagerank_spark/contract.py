@@ -1867,6 +1867,20 @@ def q_hits_fixed5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_induced_subgraph_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30% vertex-induced subgraph sample (pipeline/sampling.py
+    induced_subgraph, pure scan-stage md5 filter) audited as edge counts
+    per kind — membership is a pure function of the key, twin replays
+    the identical bucket arithmetic."""
+    from montecarlopagerank_spark.pipeline.sampling import induced_subgraph
+
+    return (
+        induced_subgraph(_string_edges(spark, sf_dir), 0.3)
+        .groupBy("kind")
+        .agg(F.count("*").alias("n_edges"))
+    )
+
+
 def q_negative_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic negative sampling (algos/linkpred.py
     negative_edges): ≤5 hash-derived non-edges per source vertex — the
@@ -2928,6 +2942,7 @@ QUERIES = {
     "salsa_fixed5": q_salsa_fixed5,
     "vertex_features": q_vertex_features,
     "negative_edges": q_negative_edges,
+    "induced_subgraph_counts": q_induced_subgraph_counts,
     "bfs_hops_tools": q_bfs_hops_tools,
     "sssp_from_tools": q_sssp_from_tools,
     "random_walks_tools": q_random_walks_tools,
@@ -3083,6 +3098,15 @@ FROM sym JOIN deg du ON sym.u = du.u JOIN deg dw ON sym.w = dw.u
     "pagerank_personalized_fixed": _ppr_sql(5),
     "hits_fixed5": _hits_sql(5),
     "salsa_fixed5": _salsa_sql(5),
+    "induced_subgraph_counts": """
+WITH """ + SQL_TEDGES[1:] + """,
+kept AS (
+  SELECT src, dst, kind FROM tedges
+  WHERE ('0x' || substr(md5('subg:' || src), 1, 8))::UBIGINT < 1288490188
+    AND ('0x' || substr(md5('subg:' || dst), 1, 8))::UBIGINT < 1288490188
+)
+SELECT kind, COUNT(*) AS n_edges FROM kept GROUP BY kind
+""",
     "negative_edges": """
 WITH """ + SQL_TEDGES[1:] + """,
 de AS MATERIALIZED (SELECT DISTINCT src, dst FROM tedges),

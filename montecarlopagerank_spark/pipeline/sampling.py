@@ -157,3 +157,28 @@ def bottomk_sample(
         .limit(k)
         .drop("_bucket")
     )
+
+
+def induced_subgraph(
+    edges: DataFrame,
+    frac: float,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    salt: str = "subg:",
+) -> DataFrame:
+    """Vertex-induced subgraph sample: keep a vertex iff its md5 bucket
+    falls under ``frac`` (the same bucket space as hash_split), keep an
+    edge iff BOTH endpoints survive — the consistent way to develop
+    against a sample of a 100 TB graph (every job re-derives the same
+    membership from the key; expected edge retention is frac² under
+    independence, and monotone: a bigger frac strictly grows the
+    subgraph, so samples nest).
+
+    Scale shape: a pure scan-stage filter on two hash expressions —
+    no membership table, no join, no shuffle."""
+    cut = int(frac * BUCKETS)
+    return edges.filter(
+        (hash_bucket(F.col(src_col), salt) < cut)
+        & (hash_bucket(F.col(dst_col), salt) < cut)
+    )

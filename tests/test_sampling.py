@@ -143,3 +143,23 @@ def test_bottomk_sample_deterministic_and_composable(spark):
     assert sorted(r["id"] for r in comp.collect()) == want
     # k > n degenerates to the full set
     assert bottomk_sample(df, key_col="id", k=10_000).count() == 500
+
+
+def test_induced_subgraph_consistent_and_nested(spark):
+    from montecarlopagerank_spark.pipeline.sampling import (
+        BUCKETS,
+        induced_subgraph,
+    )
+    import hashlib
+
+    pairs = [(i, (i * 13 + 3) % 100) for i in range(300)]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    small = {(r["src"], r["dst"]) for r in induced_subgraph(e, 0.3).collect()}
+    big = {(r["src"], r["dst"]) for r in induced_subgraph(e, 0.7).collect()}
+    assert small <= big  # samples nest
+    # python twin: exact membership
+    def keep(v, cut):
+        return int(hashlib.md5(f"subg:{v}".encode()).hexdigest()[:8], 16) < cut
+    cut = int(0.3 * BUCKETS)
+    want = {(a, b) for a, b in pairs if keep(a, cut) and keep(b, cut)}
+    assert small == want
