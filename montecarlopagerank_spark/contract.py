@@ -1404,6 +1404,25 @@ def q_transcripts_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_view(read_transcripts_orc(spark, p))
 
 
+def q_conversation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation profile (pipeline/temporal.py
+    conversation_profile): one map-side-combined aggregation keyed by
+    conv_id; µs-exact duration."""
+    from montecarlopagerank_spark.pipeline.temporal import conversation_profile
+
+    return conversation_profile(transcripts_from_events(spark, sf_dir))
+
+
+def q_tool_context_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most frequent whitespace tokens in the text of turns that
+    invoke each tool (pipeline/textstats.py group_top_terms) —
+    deterministic (count DESC, term) order, hash-checked."""
+    from montecarlopagerank_spark.pipeline.textstats import group_top_terms
+
+    ts = transcripts_from_events(spark, sf_dir).filter(F.col("tool").isNotNull())
+    return group_top_terms(ts, group_col="tool", text_col="text", k=5)
+
+
 def q_edge_counts_by_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _string_edges(spark, sf_dir)
@@ -2912,6 +2931,8 @@ QUERIES = {
     "transcripts_view": q_transcripts_view,
     "transcripts_jsonl_roundtrip": q_transcripts_jsonl_roundtrip,
     "transcripts_orc_roundtrip": q_transcripts_orc_roundtrip,
+    "conversation_profile": q_conversation_profile,
+    "tool_context_terms": q_tool_context_terms,
     "edge_counts_by_kind": q_edge_counts_by_kind,
     "edges_streaming_counts": q_edges_streaming_counts,
     "turn_chain_edges": q_turn_chain_edges,
@@ -3914,5 +3935,27 @@ FROM totals t LEFT JOIN kept USING (doc_id)
 }
 
 # the roundtrip queries must reproduce the base view exactly
+ORACLE_SQL["conversation_profile"] = ("""
+WITH """ + SQL_TURNS[1:] + """
+SELECT conv_id, COUNT(*) AS n_turns,
+       COUNT(DISTINCT role) AS n_roles,
+       COUNT(tool) AS n_tool_calls,
+       MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us,
+       SUM(LENGTH(text)) AS total_chars
+FROM turns GROUP BY conv_id
+""")
+ORACLE_SQL["tool_context_terms"] = ("""
+WITH """ + SQL_TURNS[1:] + """,
+tok AS (
+  SELECT tool, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM turns WHERE tool IS NOT NULL
+),
+cnt AS (SELECT tool, term, COUNT(*) AS cnt FROM tok GROUP BY tool, term)
+SELECT tool, CAST(rank AS INT) AS rank, term, cnt FROM (
+  SELECT tool, term, cnt,
+         ROW_NUMBER() OVER (PARTITION BY tool ORDER BY cnt DESC, term) AS rank
+  FROM cnt)
+WHERE rank <= 5
+""")
 ORACLE_SQL["transcripts_jsonl_roundtrip"] = ORACLE_SQL["transcripts_view"]
 ORACLE_SQL["transcripts_orc_roundtrip"] = ORACLE_SQL["transcripts_view"]

@@ -216,3 +216,18 @@ def turn_latency(transcripts: DataFrame) -> DataFrame:
         F.percentile("gap_us", F.lit(0.5)).alias("p50_us"),
         F.percentile("gap_us", F.lit(0.95)).alias("p95_us"),
     )
+
+
+def conversation_profile(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation profile — the first table an analyst asks of a
+    transcript corpus: ``(conv_id, n_turns, n_roles, n_tool_calls,
+    duration_us, total_chars)``. ONE map-side-combined aggregation keyed
+    by conv_id (µs-exact duration via the shared _us cast; distinct-role
+    count collapses map-side because roles per conversation are tiny)."""
+    return transcripts.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.countDistinct("role").alias("n_roles"),
+        F.count("tool").alias("n_tool_calls"),  # count skips nulls
+        (F.max(_us("ts")) - F.min(_us("ts"))).alias("duration_us"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )

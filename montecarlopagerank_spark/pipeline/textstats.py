@@ -14,7 +14,7 @@ DuckDB regex engines for this pattern.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # the reference corpus' stopword-ish tokens; deliberately small + fixed so
@@ -170,4 +170,29 @@ def corpus_vocab_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(
             F.col("n_distinct").cast("double") / F.col("total_tokens"), 6
         ).alias("ttr_r6"),
+    )
+
+
+def group_top_terms(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k most frequent tokens per group with a deterministic
+    (count DESC, term ASC) total order — e.g. "what do turns say when
+    they invoke each tool". One explode → (group, term) map-side-
+    combined count → per-group window top-k (the window reuses the
+    count's hash partitioning — no second exchange)."""
+    counts = (
+        df.select(F.col(group_col).alias("grp"), _tokens(F.col(text_col)).alias("tk"))
+        .select("grp", F.explode("tk").alias("term"))
+        .groupBy("grp", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("cnt"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("grp").alias(group_col), "rank", "term", "cnt")
     )

@@ -541,3 +541,15 @@ def test_corpus_vocab_stats_exact_and_sketch_band(spark):
     b = corpus_vocab_stats(big).collect()[0]
     assert b["n_distinct"] == 20000
     assert abs(b["n_distinct_approx"] - 20000) <= 3 * 0.01 * 20000
+
+
+def test_group_top_terms_deterministic_order(spark):
+    from montecarlopagerank_spark.pipeline.textstats import group_top_terms
+
+    df = spark.createDataFrame(
+        [("a", "x x y z"), ("a", "y x"), ("b", "q q q w")],
+        "grp string, text string")
+    got = [(r["grp"], r["rank"], r["term"], r["cnt"])
+           for r in group_top_terms(df, "grp", k=2).orderBy("grp", "rank").collect()]
+    assert got == [("a", 1, "x", 3), ("a", 2, "y", 2),
+                   ("b", 1, "q", 3), ("b", 2, "w", 1)]

@@ -173,3 +173,26 @@ def test_turn_latency_closed_form(spark):
     au = got[("assistant", "user")]
     assert (au["n"], au["mean_us"], au["p50_us"]) == (1, 1_000_000.0, 1_000_000.0)
     assert len(got) == 2  # no other transitions
+
+
+def test_conversation_profile_closed_form(spark):
+    import datetime as dt
+
+    from montecarlopagerank_spark.pipeline.temporal import conversation_profile
+
+    b = dt.datetime(2024, 3, 1)
+    rows = [
+        ("c1", 0, "user", "hi", None, b),
+        ("c1", 1, "assistant", "hello!", "bash", b + dt.timedelta(seconds=2)),
+        ("c1", 2, "user", "bye", None, b + dt.timedelta(seconds=5)),
+        ("c2", 0, "user", "x", "sql", b),
+    ]
+    ts = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp")
+    got = {r["conv_id"]: r for r in conversation_profile(ts).collect()}
+    c1 = got["c1"]
+    assert (c1["n_turns"], c1["n_roles"], c1["n_tool_calls"]) == (3, 2, 1)
+    assert c1["duration_us"] == 5_000_000
+    assert c1["total_chars"] == len("hi") + len("hello!") + len("bye")
+    assert (got["c2"]["n_turns"], got["c2"]["duration_us"]) == (1, 0)
