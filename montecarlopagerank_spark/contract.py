@@ -2173,6 +2173,15 @@ def q_bpe_token_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch ease / Flesch-Kincaid grade per doc (pipeline/textstats.py
+    readability) — ONE codegen scan; the twin replays the identical
+    counts and IEEE op order, rounded to 4."""
+    from montecarlopagerank_spark.pipeline.textstats import readability
+
+    return readability(_documents(spark, sf_dir))
+
+
 def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary summary (pipeline/textstats.py
     corpus_vocab_stats) — the EXACT columns only; the HLL approx column
@@ -2980,6 +2989,7 @@ QUERIES = {
     "turn_latency": q_turn_latency,
     "vocab_stats": q_vocab_stats,
     "quality_score": q_quality_score,
+    "readability": q_readability,
     "langid_heuristic": q_langid_heuristic,
     "doc_fingerprint": q_doc_fingerprint,
     "exact_dedup_groups": q_exact_dedup_groups,
@@ -3404,6 +3414,29 @@ SELECT doc_id,
          + (CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 12.0 THEN 0.2 ELSE 0.0 END)
          + (CASE WHEN punct_ratio <= 0.1 THEN 0.1 ELSE 0.0 END), 2) AS quality
 FROM m
+""",
+    "readability": r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(text)), '\s+') AS tk,
+         GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sents
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         CAST(GREATEST(len(tk), 1) AS DOUBLE) AS w,
+         CAST(n_sents AS DOUBLE) AS s,
+         CAST(list_reduce(
+           list_transform(tk, x ->
+             GREATEST(len(regexp_extract_all(x, '[aeiouy]+')), 1)),
+           (a, b) -> a + b) AS DOUBLE) AS y
+  FROM t
+)
+SELECT doc_id, CAST(w AS BIGINT) AS n_words, CAST(s AS BIGINT) AS n_sentences,
+       CAST(y AS BIGINT) AS n_syllables,
+       ROUND(206.835 - 1.015 * (w / s) - 84.6 * (y / w), 4) AS flesch_ease_r4,
+       ROUND(0.39 * (w / s) + 11.8 * (y / w) - 15.59, 4) AS fk_grade_r4
+FROM c
 """,
     "langid_heuristic": r"""
 WITH c AS (

@@ -196,3 +196,43 @@ def group_top_terms(
         .filter(F.col("rank") <= k)
         .select(F.col("grp").alias(group_col), "rank", "term", "cnt")
     )
+
+
+def readability(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease and Flesch-Kincaid grade per document (the
+    classic length-complexity quality signals; Kincaid et al. 1975)
+    with the standard heuristics: sentences = runs ending in [.!?]+
+    (min 1), words = whitespace tokens (min 1), syllables = vowel-group
+    runs [aeiouy]+ per lowercased word (min 1/word). ONE codegen scan —
+    two regexp counts and an aggregate fold over the token array; the
+    exact arithmetic is replayed by the DuckDB twin (fixed op order,
+    round 4)."""
+    toks = _tokens(F.lower(F.col(text_col)))
+    n_words = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    n_sents = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("double")
+    n_syll = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.greatest(F.regexp_count(w, F.lit(r"[aeiouy]+")), F.lit(1)),
+    ).cast("double")
+    ease = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words / n_sents)
+        - F.lit(84.6) * (n_syll / n_words)
+    )
+    grade = (
+        F.lit(0.39) * (n_words / n_sents)
+        + F.lit(11.8) * (n_syll / n_words)
+        - F.lit(15.59)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_sents.cast("long").alias("n_sentences"),
+        n_syll.cast("long").alias("n_syllables"),
+        F.round(ease, 4).alias("flesch_ease_r4"),
+        F.round(grade, 4).alias("fk_grade_r4"),
+    )

@@ -553,3 +553,20 @@ def test_group_top_terms_deterministic_order(spark):
            for r in group_top_terms(df, "grp", k=2).orderBy("grp", "rank").collect()]
     assert got == [("a", 1, "x", 3), ("a", 2, "y", 2),
                    ("b", 1, "q", 3), ("b", 2, "w", 1)]
+
+
+def test_readability_closed_form(spark):
+    from montecarlopagerank_spark.pipeline.textstats import readability
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. It sat there!"), (2, "xyz")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in readability(df).collect()}
+    r = got[1]
+    # 6 words, 2 sentences; syllables: the=1 cat=1 sat.=1 it=1 sat=1 there!=2
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (6, 2, 7)
+    import pytest as _pt
+    assert r["fk_grade_r4"] == _pt.approx(
+        round(0.39 * 3 + 11.8 * (7 / 6) - 15.59, 4), abs=1e-9)
+    # vowel-less word still counts 1 syllable; no sentence mark -> 1
+    assert (got[2]["n_words"], got[2]["n_sentences"], got[2]["n_syllables"]) == (1, 1, 1)
