@@ -1210,6 +1210,86 @@ WHERE rank <= {topk}"""
     )
 
 
+def _pq_sql(
+    m: int, k: int, iters: int, dim: int, topk: int, max_qid: int
+) -> str:
+    """Product-quantization twin (pipeline/pq.py): the full pipeline —
+    subvector explode, md5-order joint seeding, ``iters`` Lloyd rounds
+    (argmin on (ROUND(d²,6), cid), empty cells keep their codeword),
+    encode, ADC table join, top-k — unrolled. Means differ only in fp
+    summation order; every comparison goes through the shared round-6
+    argmin, so codes and the ranked output match exactly."""
+    sub = dim // m
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {sub + 1}), "
+            f"j -> ({a}[j] - {b}[j]) * ({a}[j] - {b}[j])), (p, q) -> p + q)"
+        )
+
+    def assign_cte(name: str, cents: str) -> str:
+        return f"""
+{name} AS MATERIALIZED (
+  SELECT vid, m, subvec, cid FROM (
+    SELECT s.vid, s.m, s.subvec, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY s.vid, s.m
+                              ORDER BY ROUND({d2('s.subvec', 'c.cvec')}, 6),
+                                       c.cid) AS rn
+    FROM sub s JOIN {cents} c USING (m)) WHERE rn = 1
+)"""
+
+    parts = [f"""WITH e AS MATERIALIZED (
+  SELECT vec_id AS vid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+sub AS MATERIALIZED (
+  SELECT vid, mm.m, vec[mm.m * {sub} + 1 : (mm.m + 1) * {sub}] AS subvec
+  FROM e CROSS JOIN (SELECT CAST(range AS INT) AS m FROM range({m})) mm
+),
+c0 AS MATERIALIZED (
+  SELECT m, CAST(rn - 1 AS INT) AS cid, subvec AS cvec FROM (
+    SELECT m, subvec,
+           ROW_NUMBER() OVER (PARTITION BY m
+                              ORDER BY md5(CAST(vid AS VARCHAR)), vid) AS rn
+    FROM sub) WHERE rn <= {k}
+)"""]
+    for i in range(iters):
+        parts.append("," + assign_cte(f"a{i}", f"c{i}"))
+        parts.append(f""",
+mm{i} AS (
+  SELECT m, cid, list(mx ORDER BY pos) AS cvec FROM (
+    SELECT a.m, a.cid, p.pos, AVG(a.subvec[p.pos]) AS mx
+    FROM a{i} a CROSS JOIN (SELECT CAST(range AS INT) AS pos
+                            FROM range(1, {sub + 1})) p
+    GROUP BY a.m, a.cid, p.pos)
+  GROUP BY m, cid
+),
+c{i + 1} AS MATERIALIZED (
+  SELECT c.m, c.cid, COALESCE(mm.cvec, c.cvec) AS cvec
+  FROM c{i} c LEFT JOIN mm{i} mm ON c.m = mm.m AND c.cid = mm.cid
+)""")
+    parts.append("," + assign_cte("codes", f"c{iters}"))
+    parts.append(f""",
+qsub AS (SELECT vid AS query_id, m, subvec FROM sub WHERE vid < {max_qid}),
+tbl AS MATERIALIZED (
+  SELECT q.query_id, q.m, c.cid, {d2('q.subvec', 'c.cvec')} AS d2
+  FROM qsub q JOIN c{iters} c USING (m)
+),
+adc AS (
+  SELECT t.query_id, co.vid AS match_id, ROUND(SUM(t.d2), 6) AS adc_r6
+  FROM codes co JOIN tbl t ON co.m = t.m AND co.cid = t.cid
+  WHERE co.vid <> t.query_id
+  GROUP BY t.query_id, co.vid
+)
+SELECT query_id, CAST(rank AS INT) AS rank, match_id, adc_r6 FROM (
+  SELECT query_id, match_id, adc_r6,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_r6, match_id) AS rank
+  FROM adc)
+WHERE rank <= {topk}""")
+    return "".join(parts)
+
+
 def _bpe_sql(n_merges: int) -> str:
     """BPE-training twin (pipeline/bpe.py): the word-type table rendered
     as padded double-space symbol strings, ``n_merges`` rounds unrolled
@@ -2885,10 +2965,11 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-10 (pipeline/pq.py): 4 subspaces ×
     16 codewords trained jointly in one Lloyd loop, corpus encoded to
-    4-byte codes, asymmetric-distance scan for queries vec_id<8. No SQL
-    twin (a 4-way jointly-trained PQ unrolled in SQL would dwarf the
-    operator); parity + recall are pinned by tests/test_pq.py against a
-    pure-numpy PQ (codes exact, ADC 1e-9, recall >= 0.5 floor)."""
+    4-byte codes, asymmetric-distance scan for queries vec_id<8.
+    Hash-checked against the fully-unrolled DuckDB twin (_pq_sql:
+    seeding, 2 Lloyd rounds, encode, ADC, top-k); parity + recall are
+    additionally pinned by tests/test_pq.py against a pure-numpy PQ
+    (codes exact, ADC 1e-9, recall >= 0.5 floor)."""
     from montecarlopagerank_spark.pipeline.pq import (
         pq_adc_topk,
         pq_encode,
@@ -3965,6 +4046,7 @@ FROM totals t LEFT JOIN kept USING (doc_id)
     "kmeans_embeddings": _kmeans_sql(10, 3, 64),
     "ivf_topk": _ivf_sql(10, 3, 64, nprobe=2, topk=10, max_qid=16),
     "sq_topk": _sq_sql(64, max_qid=8, topk=10),
+    "pq_topk": _pq_sql(4, 16, 2, 64, topk=10, max_qid=8),
 }
 
 # the roundtrip queries must reproduce the base view exactly
