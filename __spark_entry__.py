@@ -26,7 +26,7 @@ def entry(spark: SparkSession) -> DataFrame:
     vertices (SURVEY.md §7.1 step 4)."""
     from montecarlopagerank_spark.contract import q_pagerank_power_top20
 
-    return q_pagerank_power_top20(spark, "/root/testdata/sf0.001")
+    return q_pagerank_power_top20(spark, "/root/testdata/sf0.001", steps=35)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

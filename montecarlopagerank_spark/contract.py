@@ -19,6 +19,8 @@ needs to reproduce the engine's vertex-id assignment.
 
 from __future__ import annotations
 
+import re
+
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1691,16 +1693,29 @@ def q_pagerank_weighted_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_pagerank_power_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship: converged PI, top 20 central vertices (rows-only)."""
-    from montecarlopagerank_spark.algos.pagerank_power import pagerank_power, top_k
+def q_pagerank_power_top20(
+    spark: SparkSession, sf_dir: str, steps: int = 22
+) -> DataFrame:
+    """Flagship: PI run for EXACTLY ``steps`` supersteps — 22 is the
+    step at which the sf0.01 corpus reaches L∞ < 1e-6 (asserted below,
+    so the 'converged' claim stays honest; entry() passes 35 for the
+    smaller sf0.001 graph, which converges more slowly per step count)
+    — then top 20 by (round(rank·n, 6) DESC, key). Pinning the step
+    count (tol=0) instead of stopping on the observed delta makes the
+    query an exact pure function of the input, so the 22-step unrolled
+    SQL twin hash-checks it (previously rows-only)."""
+    from montecarlopagerank_spark.algos.pagerank_power import pagerank_power
 
     edges, vertices, key = _vid_graph(spark, sf_dir)
-    ranks, _ = pagerank_power(spark, edges, vertices, tol=1e-6, max_iters=120)
-    top = top_k(ranks, 20)
-    return top.join(key, top.v == key.vid).select(
-        F.col("vkey").alias("v"), F.round("rank", 6).alias("rank_r6")
-    ).orderBy(F.desc("rank_r6"), F.asc("v"))
+    ranks, info = pagerank_power(spark, edges, vertices, tol=0.0, max_iters=steps)
+    assert info["deltas"][-1] < 1e-6, \
+        f"not converged by {steps}: {info['deltas'][-1]}"
+    n = info["n"]
+    scored = ranks.join(key, ranks.v == key.vid).select(
+        F.col("vkey").alias("v"),
+        F.round(F.col("rank") * F.lit(float(n)), 6).alias("rank_scaled"),
+    )
+    return scored.orderBy(F.desc("rank_scaled"), F.asc("v")).limit(20)
 
 
 def q_pagerank_mc_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4050,6 +4065,18 @@ FROM totals t LEFT JOIN kept USING (doc_id)
 }
 
 # the roundtrip queries must reproduce the base view exactly
+# 22 unrolled rounds: every CTE must be MATERIALIZED or DuckDB's inliner
+# re-scans events.parquet exponentially and exhausts the fd limit
+ORACLE_SQL["pagerank_power_top20"] = (
+    re.sub(r"\n(\w+) AS \(", lambda mo: f"\n{mo.group(1)} AS MATERIALIZED (",
+           _pi_sql(22)).replace(
+        "SELECT r.v AS v, ROUND(r.r * nn.n, 6) AS rank_scaled\nFROM r22 r CROSS JOIN nn",
+        """SELECT v, rank_scaled FROM (
+  SELECT r.v AS v, ROUND(r.r * nn.n, 6) AS rank_scaled
+  FROM r22 r CROSS JOIN nn)
+ORDER BY rank_scaled DESC, v LIMIT 20""",
+    )
+)
 ORACLE_SQL["conversation_profile"] = ("""
 WITH """ + SQL_TURNS[1:] + """
 SELECT conv_id, COUNT(*) AS n_turns,
