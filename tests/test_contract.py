@@ -69,9 +69,9 @@ def test_entry_smoke(spark):
     df = entry.entry(spark)
     rows = df.collect()
     assert len(rows) == 20
-    assert df.columns == ["v", "rank_r6"]
+    assert df.columns == ["v", "rank_scaled"]
     # best-first and hub tools on top of the transcript graph
-    ranks = [r["rank_r6"] for r in rows]
+    ranks = [r["rank_scaled"] for r in rows]
     assert ranks == sorted(ranks, reverse=True)
 
 
