@@ -117,10 +117,13 @@ def strongly_connected_components(
                 F.count(F.lit(1)).alias("ne"),
             )
             trim_rounds += 1
-            if int(lmeta["ne"]) == int(lm["ne"]):
-                break
+            unchanged = int(lmeta["ne"]) == int(lm["ne"])
+            # rebind even on the no-change round: keeping the OLDER
+            # DataFrame would leave `live` two scc_edges writes back, and
+            # the next scc_edges write (step 4) would overwrite the slot
+            # its own plan scans (see operators/state.py slot invariant)
             live, lm = nl, lmeta
-            if int(lm["ne"]) == 0:
+            if unchanged or int(lm["ne"]) == 0:
                 break
         core = live.select(F.col("src").alias("v")).unionByName(
             live.select(F.col("dst").alias("v"))

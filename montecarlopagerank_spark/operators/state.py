@@ -10,9 +10,16 @@ reliable ``checkpoint()``; see git history). A parquet round-trip is flat
 100 TB design: Pregel-style per-superstep state materialization to DFS,
 which is what makes mid-iteration resume possible at all.
 
-Two alternating slots per state name: step i writes slot ``i % 2`` while
-the live reader (step i−1's output) points at the other slot, so an
-overwrite never clobbers a directory an active plan still scans.
+Three rotating slots per state name: write i goes to slot ``i % 3``, so
+a write never clobbers a directory referenced by the results of the last
+TWO ``materialize(name)`` calls. Two slots are not enough in practice:
+fixpoint loops that DISCARD a no-change write (e.g. the SCC trim loop —
+it writes the re-filtered edge set, sees the count unchanged, and keeps
+the OLDER DataFrame) leave the live reader two writes back, and the next
+same-name write would delete the very files its own plan scans
+(observed: fileNotExistError mid-job under load). Invariant for callers:
+a plan passed to ``materialize(name)`` may reference the last two
+``name`` results, never older ones.
 
 ``CheckpointManager`` (checkpoint.py) is the *durable* variant of this —
 same write-then-reread shape plus a commit manifest. StateStore is the
@@ -65,7 +72,7 @@ class StateStore:
         """Write ``df`` to the name's next slot and return the re-read
         DataFrame (lineage truncated, plan = fresh parquet scan)."""
         seq = self._seq.get(name, 0)
-        path = os.path.join(self.root, f"{name}_{seq % 2}")
+        path = os.path.join(self.root, f"{name}_{seq % 3}")
         # snappy, not the session's zstd: scratch slots live for exactly
         # one superstep (usually on tmpfs/local disk) — encode CPU in the
         # per-step write job matters, storage density doesn't (measured
