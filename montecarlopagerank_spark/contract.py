@@ -2450,11 +2450,12 @@ def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode (rows-only: numpy features have no SQL twin).
-    Image/audio blobs are VALID BMP/PNG/WAV files and get REALLY decoded
-    (parse → pixel/sample arrays → content features; PNG inflates via
-    stdlib zlib — pipeline/multimodal.py::real_decode); video blobs fall
-    back to the deterministic fake feature, marked decoder='fake' —
-    never silent."""
+    ALL THREE modalities decode for real: blobs are valid BMP/PNG (still
+    images), WAV PCM16 (audio), and uncompressed-DIB AVI (video) files,
+    parsed to pixel/sample/frame arrays → content features by pure
+    stdlib codecs (pipeline/multimodal.py::real_decode; PNG inflates via
+    zlib, AVI walks the RIFF tree). Undecodable blobs fall back to the
+    deterministic fake feature, marked decoder='fake' — never silent."""
     from montecarlopagerank_spark.pipeline.multimodal import (
         real_decode,
         synthetic_real_media,

@@ -2,12 +2,15 @@
 columns with typed metadata.
 
 Formats with pure-stdlib codecs — **BMP (24-bpp), PNG (8-bit truecolor,
-inflated via stdlib zlib, all five scanline filters), and WAV (PCM16)**
-— are REALLY decoded (``real_decode``: parse → pixel/sample arrays →
-content features; encoders included for fixtures). Formats that need
-external decode libraries (JPEG/MP4 — PIL/librosa are not in this
-container) stay stubbed: ``decode_stub`` raises, ``fake_decode`` produces
-deterministic hash-derived features with the real batch shape. Every
+inflated via stdlib zlib, all five scanline filters), WAV (PCM16), and
+AVI (RIFF container, uncompressed 24-bpp DIB frames)** — are REALLY
+decoded (``real_decode``: parse → pixel/sample/frame arrays → content
+features; ``sample_frames_real``: per-frame image features; encoders
+included for fixtures), so all three modalities (image/audio/video) have
+a real decode path. Formats that need external decode libraries
+(JPEG/MP4 — PIL/librosa are not in this container) stay stubbed:
+``decode_stub`` raises, ``fake_decode`` produces deterministic
+hash-derived features with the real batch shape. Every
 piece of Spark-side plumbing is real and tested either way: the schema,
 the ``mapInPandas`` batch shape (Arrow binary columns arrive as ``bytes``
 objects), the partition sizing for large blobs, and the frame-sampling
@@ -254,6 +257,92 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
     return samples, sr
 
 
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """(n, h, w, 3) uint8 RGB frames → a valid RIFF/AVI file with
+    uncompressed 24-bpp DIB frames ('00db' chunks, bottom-up BGR rows —
+    the same pixel layout as BMP). Pure struct + numpy."""
+    fr = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, h, w, _ = fr.shape
+    row_size = (w * 3 + 3) & ~3
+    frame_bytes = row_size * h
+    pad = b"\x00" * (row_size - w * 3)
+
+    def dib(px: np.ndarray) -> bytes:
+        bgr = px[:, :, ::-1]
+        return b"".join(bgr[y].tobytes() + pad for y in range(h - 1, -1, -1))
+
+    avih = struct.pack(
+        "<10I4I",
+        round(1_000_000 / fps), frame_bytes * fps, 0, 0x10, n, 0, 1,
+        frame_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIii4H",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n, frame_bytes, -1, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0
+    )
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(subtype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", subtype + body)
+
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", dib(fr[i])) for i in range(n)))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(content: bytes) -> tuple[np.ndarray, float]:
+    """Uncompressed 24-bpp DIB AVI bytes → ((n, h, w, 3) uint8 RGB
+    frames, fps). Walks the RIFF chunk tree ('junk'/'idx1'/extra LISTs
+    tolerated); only BI_RGB 24-bpp video streams are supported."""
+    if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    w = h = None
+    fps = 0.0
+    raw_frames: list[bytes] = []
+    stack = [(12, len(content))]
+    while stack:
+        pos, end = stack.pop()
+        while pos + 8 <= end:
+            cid, csz = struct.unpack_from("<4sI", content, pos)
+            body_at = pos + 8
+            if cid == b"LIST":
+                stack.append((body_at + 4, body_at + csz))  # skip subtype
+            elif cid == b"avih":
+                us_pf, _, _, _, _nf, _, _, _, w, h = struct.unpack_from(
+                    "<10I", content, body_at
+                )
+                fps = 1_000_000 / us_pf if us_pf else 0.0
+            elif cid == b"strf":
+                bpp = struct.unpack_from("<H", content, body_at + 14)[0]
+                comp = struct.unpack_from("<I", content, body_at + 16)[0]
+                if bpp != 24 or comp != 0:
+                    raise ValueError(
+                        f"only 24-bpp BI_RGB DIB AVI supported (bpp={bpp})"
+                    )
+            elif cid in (b"00db", b"00dc"):
+                raw_frames.append(content[body_at : body_at + csz])
+            pos = body_at + csz + (csz & 1)  # chunks are word-aligned
+    if w is None or h is None:
+        raise ValueError("AVI missing avih header")
+    row_size = (w * 3 + 3) & ~3
+    frames = np.empty((len(raw_frames), h, w, 3), dtype=np.uint8)
+    for i, raw in enumerate(raw_frames):
+        arr = np.frombuffer(raw, dtype=np.uint8, count=row_size * h)
+        rows = arr.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+        frames[i] = rows[::-1, :, ::-1]  # bottom-up BGR → top-down RGB
+    return frames, fps
+
+
 def _bmp_feature(content: bytes) -> np.ndarray:
     return _image_feature(decode_bmp(content))
 
@@ -306,15 +395,44 @@ def _wav_feature(content: bytes) -> np.ndarray:
     ).astype(np.float32)
 
 
+def _avi_feature(content: bytes) -> np.ndarray:
+    """Real video feature (FEATURE_DIM): [log1p(w), log1p(h),
+    log1p(n_frames), luminance mean/std (/255), motion energy (mean |Δ|
+    of consecutive-frame luminance, /255), RGB means (/255), 7-bin
+    luminance histogram (density over all frames)]."""
+    frames, _fps = decode_avi(content)
+    n = len(frames)
+    if n == 0:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    px = frames.astype(np.float64)
+    h, w = px.shape[1:3]
+    lum = px @ np.array([0.299, 0.587, 0.114])
+    motion = (
+        float(np.mean(np.abs(np.diff(lum, axis=0)))) / 255.0 if n > 1 else 0.0
+    )
+    hist, _ = np.histogram(lum, bins=7, range=(0.0, 255.0))
+    hist = hist / max(lum.size, 1)
+    return np.concatenate(
+        [
+            [np.log1p(w), np.log1p(h), np.log1p(n)],
+            [lum.mean() / 255.0, lum.std() / 255.0, motion],
+            px.reshape(-1, 3).mean(axis=0) / 255.0,
+            hist,
+        ]
+    ).astype(np.float32)
+
+
 def sniff_kind(content: bytes) -> str | None:
-    """'bmp' / 'png' / 'wav' by magic bytes, else None (undecodable
-    here)."""
+    """'bmp' / 'png' / 'wav' / 'avi' by magic bytes, else None
+    (undecodable here)."""
     if content[:2] == b"BM":
         return "bmp"
     if content[:8] == PNG_SIG:
         return "png"
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return "wav"
+    if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+        return "avi"
     return None
 
 
@@ -326,12 +444,12 @@ REAL_FEATURE_SCHEMA = (
 
 def real_decode(media: DataFrame, fallback: bool = True) -> DataFrame:
     """Feature extraction with REAL decoding where a pure-stdlib codec
-    exists: blobs are sniffed by magic bytes — BMP/PNG/WAV rows get
-    parsed, content-derived features (PNG inflates via stdlib zlib);
-    anything else falls back to the deterministic ``_fake_feature``
-    (``fallback=True``, ``decoder='fake'`` marks them — never silent) or
-    raises (``fallback=False``), since JPEG/MP4 decoding needs libraries
-    absent from this container."""
+    exists: blobs are sniffed by magic bytes — BMP/PNG/WAV/AVI rows get
+    parsed, content-derived features (PNG inflates via stdlib zlib; AVI
+    frames are uncompressed DIBs); anything else falls back to the
+    deterministic ``_fake_feature`` (``fallback=True``, ``decoder='fake'``
+    marks them — never silent) or raises (``fallback=False``), since
+    JPEG/MP4 decoding needs libraries absent from this container."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -344,13 +462,15 @@ def real_decode(media: DataFrame, fallback: bool = True) -> DataFrame:
                     feats.append(_png_feature(c))
                 elif k == "wav":
                     feats.append(_wav_feature(c))
+                elif k == "avi":
+                    feats.append(_avi_feature(c))
                 elif fallback:
                     feats.append(_fake_feature(c, FEATURE_DIM))
                     k = "fake"
                 else:
                     raise NotImplementedError(
                         "no pure-stdlib decoder for this blob "
-                        "(not BMP/PNG/WAV); "
+                        "(not BMP/PNG/WAV/AVI); "
                         "PIL/librosa are unavailable in this container"
                     )
                 decoders.append(k)
@@ -372,9 +492,10 @@ def real_decode(media: DataFrame, fallback: bool = True) -> DataFrame:
 def synthetic_real_media(
     spark: SparkSession, n: int = 32, seed: int = 42, parts: int = 4
 ) -> DataFrame:
-    """Deterministic media table whose image/audio blobs are VALID BMP/WAV
-    files (video stays an opaque fake blob — no numpy-only container
-    format), so ``real_decode`` exercises the real codecs end-to-end."""
+    """Deterministic media table whose image/audio/video blobs are ALL
+    valid decodable files (BMP/PNG alternating, WAV, uncompressed-DIB
+    AVI), so ``real_decode`` and ``sample_frames_real`` exercise every
+    real codec end-to-end."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -399,9 +520,11 @@ def synthetic_real_media(
                     content = encode_wav(wave, sr)
                     meta = (None, None, sr, None, "audio/wav")
                 else:
-                    size = int(rng.integers(256, 2048))
-                    content = rng.integers(0, 256, size=size, dtype=np.uint8).tobytes()
-                    meta = (None, None, None, int(rng.integers(1, 16)), "video/mp4")
+                    nf = int(rng.integers(2, 9))
+                    w, h = int(rng.integers(4, 24)), int(rng.integers(4, 24))
+                    fr = rng.integers(0, 256, size=(nf, h, w, 3), dtype=np.uint8)
+                    content = encode_avi(fr, fps=10)
+                    meta = (w, h, None, nf, "video/x-msvideo")
                 rows.append(
                     (
                         int(mid), kind, content,
@@ -484,6 +607,53 @@ def sample_frames(media: DataFrame, every_nth: int = 2, dim: int = 8) -> DataFra
         "media_id", "content", F.col("meta.n_frames").alias("n_frames")
     )
     return vids.mapInPandas(expand, schema=FRAME_SCHEMA)
+
+
+REAL_FRAME_SCHEMA = (
+    "media_id long, frame_idx int, frame_feature array<float>, decoder string"
+)
+
+
+def sample_frames_real(media: DataFrame, every_nth: int = 2) -> DataFrame:
+    """Video frame sampling with REAL frame decode for AVI blobs: every
+    ``every_nth``-th frame of an uncompressed-DIB AVI becomes a row with
+    the shared ``_image_feature`` of that frame's pixels (the same
+    feature BMP/PNG stills get — frames and stills live in one feature
+    space). Non-AVI video blobs keep the deterministic fake per-frame
+    feature, marked ``decoder='fake'``. 1→n row expansion = mapInPandas."""
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "frame_idx": [], "frame_feature": [],
+                "decoder": [],
+            }
+            for mid, content, nf in zip(
+                pdf["media_id"], pdf["content"], pdf["n_frames"]
+            ):
+                if sniff_kind(content) == "avi":
+                    frames, _ = decode_avi(content)
+                    for fi in range(0, len(frames), every_nth):
+                        out["media_id"].append(int(mid))
+                        out["frame_idx"].append(fi)
+                        out["frame_feature"].append(_image_feature(frames[fi]))
+                        out["decoder"].append("avi")
+                else:
+                    for fi in range(0, int(nf), every_nth):
+                        out["media_id"].append(int(mid))
+                        out["frame_idx"].append(fi)
+                        out["frame_feature"].append(
+                            _fake_feature(
+                                content + fi.to_bytes(4, "little"), FEATURE_DIM
+                            )
+                        )
+                        out["decoder"].append("fake")
+            yield pd.DataFrame(out)
+
+    vids = media.filter(F.col("kind") == "video").select(
+        "media_id", "content", F.col("meta.n_frames").alias("n_frames")
+    )
+    return vids.mapInPandas(expand, schema=REAL_FRAME_SCHEMA)
 
 
 def media_batches(media: DataFrame, target_bytes: int = 64 << 20) -> DataFrame:

@@ -399,11 +399,12 @@ def test_real_decode_known_features():
 
 
 def test_real_decode_spark_path(spark):
-    """real_decode over the synthetic real-media table: BMP/WAV rows get
-    real decoders, video rows fall back to the marked fake feature;
-    deterministic across partitioning."""
+    """real_decode over the synthetic real-media table: every kind gets a
+    real decoder (BMP/PNG alternating for stills, WAV for audio, DIB-AVI
+    for video); deterministic across partitioning."""
     from montecarlopagerank_spark.pipeline.multimodal import (
         real_decode,
+        synthetic_media,
         synthetic_real_media,
     )
 
@@ -415,18 +416,56 @@ def test_real_decode_spark_path(spark):
     assert by_kind == {
         "image": {"bmp", "png"},  # fixtures alternate the two real codecs
         "audio": {"wav"},
-        "video": {"fake"},
+        "video": {"avi"},
     }
     assert all(len(r["feature"]) == 16 for r in rows)
     rows2 = real_decode(synthetic_real_media(spark, n=24, parts=5)).collect()
     d1 = {r["media_id"]: list(r["feature"]) for r in rows}
     d2 = {r["media_id"]: list(r["feature"]) for r in rows2}
     assert d1 == d2
-    # strict mode refuses blobs with no stdlib codec (the video fakes)
+    # strict mode refuses blobs with no stdlib codec (opaque random bytes)
     with pytest.raises(Exception, match="NotImplementedError|no pure-stdlib"):
         real_decode(
-            synthetic_real_media(spark, n=6, parts=2), fallback=False
+            synthetic_media(spark, n=6, parts=2), fallback=False
         ).collect()
+
+
+def test_avi_codec_roundtrip_and_frame_sampling(spark):
+    """encode_avi → decode_avi is the identity (odd widths hit DIB row
+    padding); sample_frames_real emits the shared _image_feature of every
+    every_nth-th decoded frame — equal to computing it locally."""
+    import numpy as np
+
+    from montecarlopagerank_spark.pipeline import multimodal as mm
+
+    rng = np.random.default_rng(11)
+    for n, w, h in [(1, 1, 1), (3, 5, 2), (2, 7, 7), (4, 16, 9)]:
+        fr = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+        got, fps = mm.decode_avi(mm.encode_avi(fr, fps=10))
+        assert np.array_equal(got, fr), (n, w, h)
+        assert fps == pytest.approx(10.0)
+    # a single-frame AVI agrees with the BMP of the same pixels on the
+    # overlapping feature components (RGB channel means), and has zero
+    # motion energy
+    px = rng.integers(0, 256, size=(6, 4, 3), dtype=np.uint8)
+    fa = mm._avi_feature(mm.encode_avi(px[None, ...]))
+    fb = mm._bmp_feature(mm.encode_bmp(px))
+    assert fa[5] == 0.0  # single frame → zero motion energy
+    assert np.allclose(fa[6:9], fb[2:5], atol=1e-6)  # RGB means agree
+    # Spark path: frame rows match a local replay frame-for-frame
+    media = mm.synthetic_real_media(spark, n=18, parts=3)
+    got_rows = mm.sample_frames_real(media, every_nth=2).collect()
+    assert got_rows and all(r["decoder"] == "avi" for r in got_rows)
+    local = {}
+    for r in media.filter("kind = 'video'").collect():
+        frames, _ = mm.decode_avi(bytes(r["content"]))
+        for fi in range(0, len(frames), 2):
+            local[(r["media_id"], fi)] = mm._image_feature(frames[fi])
+    assert len(got_rows) == len(local)
+    for r in got_rows:
+        want = local[(r["media_id"], r["frame_idx"])]
+        assert np.array_equal(np.array(r["frame_feature"], dtype=np.float32),
+                              want)
 
 
 def test_unigram_lm_closed_form(spark):
