@@ -40,19 +40,24 @@ two shuffles per step, the price of resumable parquet state:
    adaptive planning hides checkpointed partitionings and would
    re-exchange the segment carry-over state; the loop is fully static
    so AQE has nothing to add. The graph itself is
-   **worker-resident**: CSR blocks are written ONCE at setup as parquet
-   side-files partitioned by block_id, and each reused Python worker
-   lazily loads + caches the blocks it serves (``_CSR_CACHE``). Earlier
-   designs cogrouped a JVM-cached CSR table into the kernel, which
-   re-shipped the whole graph JVM→Arrow→Python EVERY superstep —
-   measured 429 MB/step at 100M edges, pure memory-bandwidth burn that
-   capped N-vs-4N scaling efficiency at ~0.71 (the contended 4N side
-   pays more per byte). Pregel-style resident graph state is also the
-   honest 10^12-edge design: on a real cluster each executor's workers
-   converge on their partition's blocks (stable hash partitioning), so
-   the side-file read is a one-time DFS fetch per worker, amortized
-   across all supersteps of all queries. The kernel is ``applyInArrow``
-   with int32 neighbour ids when the vertex space fits;
+   **host-resident**: CSR blocks are written ONCE at setup as parquet
+   side-files partitioned by block_id; the first worker to need a block
+   decodes it and PUBLISHES the numpy arrays as ``.npy`` files under
+   ``_decoded/`` (atomic dir rename), and every worker serves from
+   ``np.memmap`` views of those files (``_CSR_CACHE``) — one decode and
+   one page-cache copy per block per HOST, not per worker (the earlier
+   per-worker in-memory caches decoded the graph N_workers× and held
+   N_workers copies: the anti-scaling warm phase in BENCH/scaling.json).
+   Earlier still, designs cogrouped a JVM-cached CSR table into the
+   kernel, which re-shipped the whole graph JVM→Arrow→Python EVERY
+   superstep — measured 429 MB/step at 100M edges, pure memory-bandwidth
+   burn that capped N-vs-4N scaling efficiency at ~0.71 (the contended
+   4N side pays more per byte). Pregel-style resident graph state is
+   also the honest 10^12-edge design: on a real cluster each executor's
+   workers converge on their partition's blocks (stable hash
+   partitioning), so the side-file fetch+decode is one-time per host,
+   amortized across all supersteps of all queries. The kernel is
+   ``applyInArrow`` with int32 neighbour ids when the vertex space fits;
 2. arrivals route to THEIR OWN blocks — a vertex's block is a pure
    chained-comparison **expression** over the block boundaries
    (``route_expr``, no routing-table join) — and the step's one exchange
@@ -172,15 +177,23 @@ def route_expr(
     return F.element_at(F.lit(block_ids), pos + 1).cast("int")
 
 
-# Worker-resident CSR blocks: (csr_path, block_id) → (vids, indptr,
-# indices) numpy triples, cached in the (reused) Python worker process so
-# the graph crosses the Arrow boundary once per worker, not once per
-# superstep. LRU-bounded; on a real cluster each executor's workers see
-# only their partition's blocks, so the cache converges to the executor's
-# graph shard — the Pregel resident-state design.
+# Host-resident CSR blocks: (csr_path, block_id) → (vids, indptr,
+# indices) numpy triples. For a LOCAL csr root the triples are np.memmap
+# views of decoded ``.npy`` side-files under ``<root>/_decoded`` (the
+# underscore prefix hides them from Spark/pyarrow dataset discovery):
+# the FIRST worker to need a block decodes it and publishes the arrays
+# with an atomic dir rename; every other worker on the host mmaps the
+# same files, so the host pays ONE decode per block and ONE page-cache
+# copy total, regardless of worker count. The earlier per-worker
+# in-memory caches decoded the full graph N_workers times — measured as
+# the anti-scaling warm phase of BENCH/scaling.json (8 s at 2 cores vs
+# 48 s at 8 on 100M edges: more cores meant strictly more decode work
+# and N× the resident bytes). For non-local roots (hdfs://, s3://) the
+# in-memory decode path remains (mmap needs a local file), LRU-bounded.
 _CSR_CACHE: OrderedDict[tuple[str, int], tuple] = OrderedDict()
-_CSR_CACHE_BYTES = [0]
+_CSR_CACHE_BYTES = [0]  # counts only in-memory (non-mmap) entries
 _CSR_CACHE_CAP = int(os.environ.get("SPARK_GRAFT_CSR_CACHE_BYTES", 4 << 30))
+_CSR_ARRAYS = ("vids", "indptr", "indices")
 
 
 def _resolve_fs(path: str) -> tuple[pafs.FileSystem, str]:
@@ -194,6 +207,55 @@ def _resolve_fs(path: str) -> tuple[pafs.FileSystem, str]:
     return pafs.LocalFileSystem(), path
 
 
+def _is_local(csr_path: str) -> bool:
+    return "://" not in csr_path or csr_path.startswith("file://")
+
+
+def _decode_part(fs, part: str):
+    """One block's parquet dir → (vids, indptr, indices) numpy triple, or
+    None for an empty/missing block."""
+    if fs.get_file_info(part).type != pafs.FileType.Directory:
+        return None  # block exists for every routed id by construction;
+        # missing dir => dangling-only range
+    tbl = pq.read_table(part, columns=list(_CSR_ARRAYS), filesystem=fs)
+    if tbl.num_rows == 0:
+        return None
+    return tuple(
+        tbl.column(c).combine_chunks().values.to_numpy(zero_copy_only=False)
+        for c in _CSR_ARRAYS
+    )
+
+
+def _publish_block(root: str, block_id: int, entry: tuple) -> None:
+    """Atomically publish a decoded block as mmap-able ``.npy`` files:
+    write to a pid-suffixed tmp dir, rename into place. If another worker
+    already won the race the rename fails and the tmp dir is discarded —
+    both outcomes leave a complete, immutable published dir."""
+    import shutil
+
+    dest = f"{root.rstrip('/')}/_decoded/b{block_id}"
+    tmp = f"{dest}.tmp.{os.getpid()}"
+    try:
+        os.makedirs(tmp, exist_ok=True)
+        for name, arr in zip(_CSR_ARRAYS, entry):
+            np.save(os.path.join(tmp, f"{name}.npy"), arr)
+        os.rename(tmp, dest)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _mmap_block(root: str, block_id: int):
+    """Published-decoded-block dir → memmap triple, or None if absent."""
+    dest = f"{root.rstrip('/')}/_decoded/b{block_id}"
+    try:
+        return tuple(
+            np.load(os.path.join(dest, f"{name}.npy"), mmap_mode="r")
+            for name in _CSR_ARRAYS
+        )
+    except (FileNotFoundError, OSError, ValueError):
+        return None
+
+
 def _load_block(csr_path: str, block_id: int):
     key = (csr_path, block_id)
     hit = _CSR_CACHE.get(key)
@@ -201,76 +263,100 @@ def _load_block(csr_path: str, block_id: int):
         _CSR_CACHE.move_to_end(key)
         return hit
     fs, root = _resolve_fs(csr_path)
-    part = f"{root.rstrip('/')}/block_id={block_id}"
-    if fs.get_file_info(part).type != pafs.FileType.Directory:
-        return None  # block exists for every routed id by construction;
-        # missing dir => dangling-only range
-    tbl = pq.read_table(part, columns=["vids", "indptr", "indices"], filesystem=fs)
-    if tbl.num_rows == 0:
-        return None
-    vids = tbl.column("vids").combine_chunks().values.to_numpy(
-        zero_copy_only=False
-    )
-    indptr = tbl.column("indptr").combine_chunks().values.to_numpy(
-        zero_copy_only=False
-    )
-    indices = tbl.column("indices").combine_chunks().values.to_numpy(
-        zero_copy_only=False
-    )
-    entry = (vids, indptr, indices)
-    _CSR_CACHE[key] = entry
-    _CSR_CACHE_BYTES[0] += vids.nbytes + indptr.nbytes + indices.nbytes
-    _evict_lru()
+    local = _is_local(csr_path)
+    entry = _mmap_block(root, block_id) if local else None
+    if entry is None:
+        entry = _decode_part(fs, f"{root.rstrip('/')}/block_id={block_id}")
+        if entry is None:
+            return None
+        if local:
+            # publish for the host's other workers, then serve the mmap
+            # (keeps this worker's resident bytes at ~0 too)
+            _publish_block(root, block_id, entry)
+            entry = _mmap_block(root, block_id) or entry
+    if isinstance(entry[0], np.memmap):
+        _CSR_CACHE[key] = entry  # address space, not RSS: never counted
+    else:
+        _CSR_CACHE[key] = entry
+        _CSR_CACHE_BYTES[0] += sum(a.nbytes for a in entry)
+        _evict_lru()
     return entry
+
+
+def _entry_bytes(entry: tuple) -> int:
+    """RSS cost of a cache entry — memmap views cost address space, not
+    resident bytes, and were never counted in."""
+    return 0 if isinstance(entry[0], np.memmap) else sum(a.nbytes for a in entry)
 
 
 def _evict_lru() -> None:
     while _CSR_CACHE_BYTES[0] > _CSR_CACHE_CAP and len(_CSR_CACHE) > 1:
         _, old = _CSR_CACHE.popitem(last=False)
-        _CSR_CACHE_BYTES[0] -= sum(a.nbytes for a in old)
+        _CSR_CACHE_BYTES[0] -= _entry_bytes(old)
 
 
 def _purge_other_roots(csr_path: str) -> None:
     """Drop cached blocks belonging to OTHER runs' csr_paths. A long-lived
     Python worker serving many pagerank_monte_carlo calls would otherwise
     keep every run's full decoded graph resident (distinct csr_path keys
-    never hit again → unbounded growth past the cap between warm passes)."""
+    never hit again → unbounded growth past the cap between warm passes;
+    mmap entries cost only fds/address space but are dropped too)."""
     for key in [k for k in _CSR_CACHE if k[0] != csr_path]:
         old = _CSR_CACHE.pop(key)
-        _CSR_CACHE_BYTES[0] -= sum(a.nbytes for a in old)
+        _CSR_CACHE_BYTES[0] -= _entry_bytes(old)
 
 
 def _preload_all(csr_path: str) -> None:
-    """Load every CSR block of ``csr_path`` into this worker's resident
-    cache in ONE vectorized parquet read (per-block dir reads pay file
-    open/footer/decode overhead ×blocks). Skipped when the decoded
-    dataset cannot fit the cache cap — the lazy per-block path then
-    serves with LRU. On a real cluster the dataset dir holds only the
-    executor's shard (stable hash partitioning), so this is the Pregel
-    graph-load phase, once per worker, amortized over all supersteps."""
+    """Warm this worker's resident cache with every CSR block of
+    ``csr_path``. LOCAL roots use the shared decoded side-files: each
+    block is decoded ONCE on the host by whichever worker reaches it
+    first (workers iterate the block list rotated by their pid so
+    concurrent warm tasks start on DIFFERENT blocks) and published under
+    ``_decoded/``; every other worker just mmaps the published arrays.
+    Total host work ≈ one decode of the graph + N_workers× mmap setup —
+    this is what makes the warm phase scale with cores instead of
+    against them (the old per-worker bulk decode was N× the work AND N×
+    the resident bytes; measured 8 s at 2 cores vs 48 s at 8 on 100M
+    edges). Non-local (DFS) roots keep the ONE vectorized per-worker
+    parquet read, cap-guarded, since mmap needs a local file. On a real
+    cluster the dataset dir holds only the executor's shard (stable hash
+    partitioning), so either way this is the Pregel graph-load phase,
+    amortized over all supersteps."""
     _purge_other_roots(csr_path)  # stale runs' graphs must not pile up
     fs, root = _resolve_fs(csr_path)
-    total = 0
-    dir_ids: set[int] = set()
     try:
-        infos = fs.get_file_info(pafs.FileSelector(root, recursive=True))
+        infos = fs.get_file_info(pafs.FileSelector(root, recursive=False))
     except (FileNotFoundError, OSError):
         return
-    for info in infos:
-        if info.is_file and not info.base_name.startswith("_"):
-            total += info.size or 0
-            seg = info.path.rsplit("/", 2)[-2]
-            if seg.startswith("block_id="):
-                dir_ids.add(int(seg.split("=", 1)[1]))
+    dir_ids = sorted(
+        int(i.base_name.split("=", 1)[1])
+        for i in infos
+        if i.type == pafs.FileType.Directory
+        and i.base_name.startswith("block_id=")
+    )
+    if not dir_ids:
+        return
+    if all((csr_path, b) in _CSR_CACHE for b in dir_ids):
+        return  # already warm: a repeat warm pass (or a warm task landing
+        # on an already-warm worker) must not re-walk the dataset
+    if _is_local(csr_path):
+        off = os.getpid() % len(dir_ids)
+        for b in dir_ids[off:] + dir_ids[:off]:
+            if (csr_path, b) not in _CSR_CACHE:
+                _load_block(csr_path, b)  # mmap-if-published else
+                # decode+publish — at most ~one decode per block per host
+        return
+    total = sum(
+        i.size or 0
+        for i in fs.get_file_info(pafs.FileSelector(root, recursive=True))
+        if i.is_file and not i.base_name.startswith("_")
+    )
     if total == 0 or total * 3 > _CSR_CACHE_CAP:  # empty graph, or the
         return  # decoded arrays (≈2-3× zstd parquet) would thrash the LRU
-    if dir_ids and all((csr_path, b) in _CSR_CACHE for b in dir_ids):
-        return  # already warm: a repeat warm pass (or a warm task landing
-        # on an already-warm worker) must not re-decode the whole dataset
     try:
         tbl = pq.read_table(
             root,
-            columns=["block_id", "vids", "indptr", "indices"],
+            columns=["block_id", *_CSR_ARRAYS],
             filesystem=fs,
         )
     except (pa.lib.ArrowInvalid, KeyError, OSError):
@@ -284,7 +370,7 @@ def _preload_all(csr_path: str) -> None:
             continue
         entry = tuple(
             tbl.column(c)[i].values.to_numpy(zero_copy_only=False)
-            for c in ("vids", "indptr", "indices")
+            for c in _CSR_ARRAYS
         )
         _CSR_CACHE[key] = entry
         _CSR_CACHE_BYTES[0] += sum(a.nbytes for a in entry)

@@ -268,11 +268,14 @@ def test_mc_state_root_file_uri(spark, gnutella_mini, tmp_path):
     assert info["total_visits"] > 0
 
 
-def test_preload_all_skips_when_warm(tmp_path, monkeypatch):
-    """Repeat warms must not re-read the dataset: _preload_all
-    short-circuits when every block dir is already resident (a warm task
-    landing on an already-warm worker used to pay a full re-decode —
-    ~25s on a 100M-edge graph). Pure pyarrow, no Spark session."""
+def test_preload_all_decode_once_then_mmap(tmp_path, monkeypatch):
+    """Local-root warms decode each block's parquet AT MOST ONCE per
+    host: the first preload decodes + publishes ``_decoded/`` .npy files;
+    every later load — repeat warm, post-eviction reload, or a fresh
+    worker's cold cache — serves np.memmap views with ZERO parquet reads
+    (the shared-decode design that fixed the anti-scaling warm phase).
+    Pure pyarrow, no Spark session."""
+    import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -300,14 +303,22 @@ def test_preload_all_skips_when_warm(tmp_path, monkeypatch):
 
     monkeypatch.setattr(mc.pq, "read_table", counting_read)
     mc._preload_all(root)
-    assert calls["n"] == 1
+    assert calls["n"] == 2  # one decode per block, published as .npy
     assert (root, 0) in mc._CSR_CACHE and (root, 2) in mc._CSR_CACHE
+    assert isinstance(mc._CSR_CACHE[(root, 0)][0], np.memmap)
+    assert (tmp_path / "csr" / "_decoded" / "b0" / "vids.npy").exists()
     mc._preload_all(root)  # second warm: guard fires, zero reads
-    assert calls["n"] == 1
-    # evicting one block re-arms the full preload
+    assert calls["n"] == 2
+    # post-eviction reload and a cold cache (≈ another worker on the
+    # host) both serve from the published files — still zero reads
     mc._CSR_CACHE.pop((root, 2))
     mc._preload_all(root)
     assert calls["n"] == 2
+    mc._purge_other_roots("__nothing__")
+    mc._preload_all(root)
+    assert calls["n"] == 2
+    got = mc._load_block(root, 2)
+    assert list(got[0]) == [2 << 8, (2 << 8) + 1]  # mmap content intact
 
 
 def test_mc_fuse_invariance(spark, gnutella_mini):
