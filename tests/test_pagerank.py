@@ -268,6 +268,27 @@ def test_mc_state_root_file_uri(spark, gnutella_mini, tmp_path):
     assert info["total_visits"] > 0
 
 
+def test_publish_block_race_loser_discards(tmp_path):
+    """If another worker already published a block, _publish_block's
+    rename fails and the loser's tmp dir is discarded — the winner's
+    files stay intact and no .tmp litter survives."""
+    import numpy as np
+
+    from montecarlopagerank_spark.algos import pagerank_mc as mc
+
+    root = str(tmp_path)
+    win = (np.array([1, 2]), np.array([0, 1, 2]), np.array([2, 1]))
+    mc._publish_block(root, 5, win)
+    assert mc._mmap_block(root, 5) is not None
+    lose = (np.array([9]), np.array([0, 1]), np.array([9]))
+    mc._publish_block(root, 5, lose)  # rename onto existing dir fails
+    got = mc._mmap_block(root, 5)
+    assert list(got[0]) == [1, 2]  # winner's content survived
+    leftovers = [p for p in (tmp_path / "_decoded").iterdir()
+                 if ".tmp." in p.name]
+    assert leftovers == []
+
+
 def test_preload_all_decode_once_then_mmap(tmp_path, monkeypatch):
     """Local-root warms decode each block's parquet AT MOST ONCE per
     host: the first preload decodes + publishes ``_decoded/`` .npy files;
