@@ -2716,6 +2716,22 @@ def q_tool_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_butterfly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite 4-cycle (butterfly) census of the conversation↔tool
+    relation (operators/projection.py::butterfly_stats): total
+    butterflies Σ C(c,2) over tool-pair common-conversation counts,
+    linked/closed pair counts and the densest pair — the bipartite
+    cohesion motif next to triangle_count's unipartite one. Exact int64
+    arithmetic both engines; the mega-group cap never fires here
+    (≤ |roles| distinct tools per conversation)."""
+    from montecarlopagerank_spark.operators.projection import butterfly_stats
+
+    t = transcripts_from_events(spark, sf_dir)
+    return butterfly_stats(
+        t.select("conv_id", "tool"), group_col="conv_id", item_col="tool"
+    )
+
+
 def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge reciprocity of the directed simple graph (share of distinct
     non-loop edges whose reverse also exists) — one self-join on the
@@ -3118,6 +3134,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "bm25_search_top20": q_bm25_search_top20,
     "tool_cooccurrence": q_tool_cooccurrence,
+    "butterfly_count": q_butterfly_count,
     "reciprocity": q_reciprocity,
     "katz_fixed6": q_katz_fixed6,
     "eigenvector_fixed6": q_eigenvector_fixed6,
@@ -3858,6 +3875,21 @@ gi AS (SELECT DISTINCT conv_id, tool FROM turns WHERE tool IS NOT NULL)
 SELECT a.tool AS tool_a, b.tool AS tool_b, COUNT(*) AS n_groups
 FROM gi a JOIN gi b ON a.conv_id = b.conv_id AND a.tool < b.tool
 GROUP BY 1, 2
+""",
+    "butterfly_count": f"""
+WITH {SQL_TURNS[1:]},
+gi AS (SELECT DISTINCT conv_id, tool FROM turns WHERE tool IS NOT NULL),
+p AS (
+  SELECT a.tool AS ta, b.tool AS tb, COUNT(*) AS c
+  FROM gi a JOIN gi b ON a.conv_id = b.conv_id AND a.tool < b.tool
+  GROUP BY 1, 2
+)
+SELECT CAST(COALESCE(SUM(c * (c - 1)), 0) // 2 AS BIGINT) AS n_butterflies,
+       CAST(COUNT(*) AS BIGINT) AS n_linked_item_pairs,
+       CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_closed_item_pairs,
+       CAST(COALESCE(MAX(c), 0) AS BIGINT) AS max_pair_groups
+FROM p
 """,
     "reciprocity": f"""
 WITH {SQL_TEDGES[1:]},

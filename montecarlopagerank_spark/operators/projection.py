@@ -71,3 +71,54 @@ def cooccurrence_pairs(
         .groupBy("item_a", "item_b")
         .agg(F.count("*").alias("n_groups"))
     )
+
+
+def butterfly_stats(
+    df: DataFrame,
+    *,
+    group_col: str,
+    item_col: str,
+    max_group_items: int | None = 1000,
+) -> DataFrame:
+    """Bipartite 4-cycle (butterfly) census of a (group, item) relation.
+
+    A butterfly is two groups sharing two items — the bipartite analogue
+    of the triangle and the standard cohesion motif for bipartite graphs
+    (Wang et al., "Vertex Priority Based Butterfly Counting for Large-scale
+    Bipartite Networks", VLDB 2019). With ``c(a,b)`` = number of distinct
+    groups containing both items of a pair, the census is pure pair-table
+    arithmetic:
+
+      ``n_butterflies      = Σ_pairs C(c, 2)``
+      ``n_linked_item_pairs = #{pairs : c ≥ 1}``
+      ``n_closed_item_pairs = #{pairs : c ≥ 2}``  (pairs in ≥1 butterfly)
+      ``max_pair_groups``   = max c (the densest pair)
+
+    Counting from the item side equals counting from the group side (a
+    4-cycle is symmetric), so one projection suffices.
+
+    Scale shape: reuses :func:`cooccurrence_pairs` — the mega-group cap
+    (dropped WITH a logged count, never silently truncated) bounds the
+    wedge self-join exactly as in the projection itself; everything after
+    the pair table is one map-side-combined global aggregate reducing to
+    a single row. Returns a 1-row DataFrame.
+    """
+    pairs = cooccurrence_pairs(
+        df,
+        group_col=group_col,
+        item_col=item_col,
+        max_group_items=max_group_items,
+    )
+    c = F.col("n_groups")
+    # Σ c(c−1) is always even; summing BEFORE the halving (integer DIV)
+    # keeps the census in exact int64 — no double rounding at web-scale
+    return pairs.agg(
+        F.expr(
+            "CAST(coalesce(sum(n_groups * (n_groups - 1L)), 0L) DIV 2 AS BIGINT)"
+        ).alias("n_butterflies"),
+        F.count(F.lit(1)).cast("bigint").alias("n_linked_item_pairs"),
+        F.coalesce(F.sum(F.when(c >= 2, 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias("n_closed_item_pairs"),
+        F.coalesce(F.max(c), F.lit(0)).cast("bigint").alias("max_pair_groups"),
+    )

@@ -6,7 +6,10 @@ from __future__ import annotations
 import itertools
 import random
 
-from montecarlopagerank_spark.operators.projection import cooccurrence_pairs
+from montecarlopagerank_spark.operators.projection import (
+    butterfly_stats,
+    cooccurrence_pairs,
+)
 
 
 def proj_naive(rows, cap=None):
@@ -50,6 +53,63 @@ def test_mega_group_dropped_not_truncated(spark):
     got = {(r.item_a, r.item_b): r.n_groups for r in out}
     assert got == {("a", "b"): 1}
     assert got == proj_naive(rows, cap=3)
+
+
+def butterfly_naive(rows, cap=None):
+    counts = proj_naive(rows, cap=cap)
+    return {
+        "n_butterflies": sum(c * (c - 1) // 2 for c in counts.values()),
+        "n_linked_item_pairs": len(counts),
+        "n_closed_item_pairs": sum(1 for c in counts.values() if c >= 2),
+        "max_pair_groups": max(counts.values(), default=0),
+    }
+
+
+def test_butterfly_micro(spark):
+    # groups 1,2 both contain {a,b} -> exactly one butterfly; group 3
+    # adds a third {a,b} group -> C(3,2)=3 butterflies on that pair
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "b")]
+    got = butterfly_stats(
+        to_df(spark, rows), group_col="g", item_col="item"
+    ).collect()[0].asDict()
+    assert got == {
+        "n_butterflies": 3,
+        "n_linked_item_pairs": 1,
+        "n_closed_item_pairs": 1,
+        "max_pair_groups": 3,
+    }
+
+
+def test_butterfly_empty_relation(spark):
+    # no item ever co-occurs: zero pairs, all-zero census (not nulls)
+    rows = [(1, "a"), (2, "b")]
+    got = butterfly_stats(
+        to_df(spark, rows), group_col="g", item_col="item"
+    ).collect()[0].asDict()
+    assert got == {
+        "n_butterflies": 0,
+        "n_linked_item_pairs": 0,
+        "n_closed_item_pairs": 0,
+        "max_pair_groups": 0,
+    }
+
+
+def test_butterfly_randomized_vs_naive(spark):
+    rng = random.Random(31)
+    rows = [(rng.randint(1, 10), f"i{rng.randint(0, 7)}") for _ in range(300)]
+    got = butterfly_stats(
+        to_df(spark, rows), group_col="g", item_col="item", max_group_items=None
+    ).collect()[0].asDict()
+    assert got == butterfly_naive(rows)
+
+
+def test_butterfly_respects_mega_group_cap(spark):
+    # the over-cap group's wedges vanish from the census too
+    rows = [(9, f"x{i}") for i in range(5)] + [(1, "a"), (1, "b"), (2, "a"), (2, "b")]
+    got = butterfly_stats(
+        to_df(spark, rows), group_col="g", item_col="item", max_group_items=3
+    ).collect()[0].asDict()
+    assert got == butterfly_naive(rows, cap=3)
 
 
 def test_randomized_vs_naive(spark):
