@@ -2652,6 +2652,20 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-split sequence packing of documents into
+    512-token training chunks (pipeline/sampling.py::pack_sequences):
+    docs laid end-to-end in deterministic md5 order, per-doc global
+    token offset + chunk span. Distributed prefix sum (bucketed by the
+    md5's leading byte), never a single-partition global window —
+    hash-checked against DuckDB's one-window cumulative-sum twin."""
+    from montecarlopagerank_spark.pipeline.sampling import pack_sequences
+
+    return pack_sequences(
+        _documents(spark, sf_dir), id_col="doc_id", text_col="text", budget=512
+    )
+
+
 def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view→click→purchase over events: per-step user
     counts under greedy earliest in-order matching (pipeline/funnel.py,
@@ -3127,6 +3141,7 @@ QUERIES = {
     "bottomk_sample_docs": q_bottomk_sample_docs,
     "mixture_sample_counts": q_mixture_sample_counts,
     "chunk_documents": q_chunk_documents,
+    "pack_sequences": q_pack_sequences,
     "k_truss_3": q_k_truss_3,
     "funnel_view_click_purchase": q_funnel_view_click_purchase,
     "retention_weekly": q_retention_weekly,
@@ -3774,6 +3789,28 @@ SELECT doc_id, CAST((strt - 1) // 160 AS BIGINT) AS chunk_idx,
        CAST(length(substr(text, strt, 200)) AS BIGINT) AS chunk_len,
        md5(substr(text, strt, 200)) AS chunk_md5
 FROM s
+""",
+    "pack_sequences": r"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+              AS BIGINT) AS n_tok,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), o AS (
+  SELECT doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+  FROM d
+)
+SELECT doc_id, n_tok, CAST(tok_start AS BIGINT) AS tok_start,
+       CAST(tok_start // 512 AS BIGINT) AS chunk_first,
+       CAST((tok_start + GREATEST(n_tok, 1) - 1) // 512 AS BIGINT)
+         AS chunk_last,
+       CAST((tok_start + GREATEST(n_tok, 1) - 1) // 512
+            - tok_start // 512 + 1 AS BIGINT) AS n_chunks
+FROM o
 """,
     # greedy in-order funnel: t1 = min step-1 ts, t_i = min step-i ts >= t_{i-1}
     "funnel_view_click_purchase": """

@@ -182,3 +182,90 @@ def induced_subgraph(
         (hash_bucket(F.col(src_col), salt) < cut)
         & (hash_bucket(F.col(dst_col), salt) < cut)
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    budget: int,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """GPT-style concat-and-split sequence packing: documents are laid
+    end-to-end in a deterministic global order (md5 of the id, ties by
+    id) and the resulting token stream is cut into fixed ``budget``-token
+    training chunks — a document may straddle a chunk boundary (Brown et
+    al. 2020 §2.3's packing; the alternative, greedy first-fit binning,
+    is order-sensitive and not reproducible across engines). Token count
+    is the whitespace convention shared with ``textstats.token_stats``.
+
+    Emits per doc: ``n_tok``, ``tok_start`` (global exclusive prefix
+    offset), ``chunk_first``/``chunk_last`` (the budget-sized chunks the
+    doc's tokens land in; an empty doc is pinned to the chunk at its
+    offset), ``n_chunks`` spanned.
+
+    Scale shape — a distributed prefix sum, NOT a global window: a
+    single-partition ``Window.orderBy`` would funnel the corpus through
+    one task. Instead the md5 order is split into ``n_buckets`` ranges
+    by the hash's leading byte(s) (a PREFIX of the sort key, so bucket
+    order == global order), per-bucket token subtotals reduce to
+    ``n_buckets`` rows on the driver, exclusive bucket bases go back via
+    a broadcast join, and the intra-bucket offset is a per-bucket window
+    over ~corpus/n_buckets rows. One shuffle (the window), one B-row
+    reduce, one broadcast: holds at 100 TB with n_buckets sized to taste.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if not 1 <= n_buckets <= 65536 or n_buckets & (n_buckets - 1):
+        raise ValueError("n_buckets must be a power of two in [1, 65536]")
+    # leading hex chars of the md5 ARE the bucket: fixed-width lowercase
+    # hex compares identically as text and as number, so ordering by
+    # (bucket, h) equals ordering by h alone
+    n_hex = max(1, (n_buckets - 1).bit_length() + 3 >> 2)
+    h = F.md5(F.col(id_col).cast("string"))
+    toks = F.split(F.trim(text_col), r"\s+")
+    n_tok = (
+        F.when(F.length(F.trim(text_col)) == 0, F.lit(0))
+        .otherwise(F.size(toks))
+        .cast("long")
+    )
+    d = df.select(
+        F.col(id_col),
+        n_tok.alias("n_tok"),
+        h.alias("_h"),
+        F.conv(F.substring(h, 1, n_hex), 16, 10).cast("long").alias("_b"),
+    )
+    # B-row exclusive prefix over bucket subtotals (driver-side scalar
+    # work; ≤65536 rows by construction)
+    sub = {
+        r["_b"]: r["s"]
+        for r in d.groupBy("_b").agg(F.sum("n_tok").alias("s")).collect()
+    }
+    bases, acc = [], 0
+    for b in sorted(sub):
+        bases.append((b, acc))
+        acc += sub[b]
+    spark = df.sparkSession
+    base_df = spark.createDataFrame(bases or [(0, 0)], "_b long, _base long")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("_b")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.col("_base") + F.sum("n_tok").over(w) - F.col("n_tok")).alias(
+        "tok_start"
+    )
+    last_tok = F.col("tok_start") + F.greatest(F.col("n_tok"), F.lit(1)) - F.lit(1)
+    return (
+        d.join(F.broadcast(base_df), "_b")
+        .select(id_col, "n_tok", "_h", "_b", start)
+        .withColumn("chunk_first", F.floor(F.col("tok_start") / budget))
+        .withColumn("chunk_last", F.floor(last_tok / budget))
+        .withColumn(
+            "n_chunks", F.col("chunk_last") - F.col("chunk_first") + F.lit(1)
+        )
+        .drop("_h", "_b")
+    )

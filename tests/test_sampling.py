@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from montecarlopagerank_spark.pipeline.sampling import (
     chunk_text,
+    pack_sequences,
     hash_split,
     mixture_sample,
 )
@@ -163,3 +164,78 @@ def test_induced_subgraph_consistent_and_nested(spark):
     cut = int(0.3 * BUCKETS)
     want = {(a, b) for a, b in pairs if keep(a, cut) and keep(b, cut)}
     assert small == want
+
+
+def pack_naive(rows, budget):
+    """Python twin: md5-ordered concat-and-split."""
+    import hashlib
+
+    order = sorted(
+        rows, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0])
+    )
+    out, off = {}, 0
+    for i, t in order:
+        n = 0 if t.strip() == "" else len(t.split())
+        first = off // budget
+        last = (off + max(n, 1) - 1) // budget
+        out[i] = (n, off, first, last, last - first + 1)
+        off += n
+    return out
+
+
+def pack_rows(df_out):
+    return {
+        r.doc_id: (r.n_tok, r.tok_start, r.chunk_first, r.chunk_last, r.n_chunks)
+        for r in df_out.collect()
+    }
+
+
+def test_pack_sequences_matches_python_twin(spark):
+    texts = [("tok " * (i % 9)).strip() for i in range(60)]  # incl. empties
+    rows = [(i, t) for i, t in enumerate(texts)]
+    out = pack_sequences(
+        docs_df(spark, texts), id_col="doc_id", text_col="text", budget=10
+    )
+    assert pack_rows(out) == pack_naive(rows, 10)
+
+
+def test_pack_sequences_bucket_count_invariant(spark):
+    # the distributed prefix sum must give the same global offsets at
+    # any bucketing granularity (bucket ranges are md5-prefix ranges)
+    texts = [f"w{i} " * (i % 5) for i in range(40)]
+    df = docs_df(spark, texts)
+    a = pack_rows(
+        pack_sequences(df, id_col="doc_id", text_col="text", budget=7, n_buckets=1)
+    )
+    b = pack_rows(
+        pack_sequences(df, id_col="doc_id", text_col="text", budget=7, n_buckets=256)
+    )
+    assert a == b
+
+
+def test_pack_sequences_conservation_and_contiguity(spark):
+    texts = [("x " * (3 * i + 1)).strip() for i in range(30)]
+    out = sorted(
+        pack_sequences(
+            docs_df(spark, texts), id_col="doc_id", text_col="text", budget=16
+        ).collect(),
+        key=lambda r: r.tok_start,
+    )
+    # offsets tile the stream: each doc starts where the previous ended
+    off = 0
+    for r in out:
+        assert r.tok_start == off
+        off += r.n_tok
+    assert off == sum(len(t.split()) for t in texts)
+    # spans consistent with the budget
+    for r in out:
+        assert r.chunk_first == r.tok_start // 16
+        assert r.n_chunks == r.chunk_last - r.chunk_first + 1
+
+
+def test_pack_sequences_validates_args(spark):
+    df = docs_df(spark, ["a"])
+    with pytest.raises(ValueError):
+        pack_sequences(df, id_col="doc_id", text_col="text", budget=0)
+    with pytest.raises(ValueError):
+        pack_sequences(df, id_col="doc_id", text_col="text", budget=8, n_buckets=3)
