@@ -1087,6 +1087,42 @@ FROM verts t LEFT JOIN h{rounds} h ON t.v = h.v""")
     return "".join(parts)
 
 
+def _kahn_sql(rounds: int) -> str:
+    """Bounded Kahn-peel twin (algos/toposort.py): per round peel every
+    zero-in-degree vertex of the live simple digraph (self-loops kept —
+    they ARE cycles), layer = peel round, leftover v{R} vertices emit
+    layer −1 ("not peeled within R rounds": cyclic or deeper than the
+    bound) — mirroring ``kahn_peel(max_rounds=R)`` round-for-round.
+    Past a stall every round is the identity (nothing peels), so the
+    twin also matches fixpoint runs whose depth ≤ ``rounds``."""
+    parts = [
+        ("WITH " + SQL_TEDGES[1:]).replace("tedges AS (", "tedges AS MATERIALIZED ("),
+        """,
+d0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM tedges),
+v0 AS MATERIALIZED (SELECT src AS v FROM d0 UNION SELECT dst FROM d0)""",
+    ]
+    for r in range(rounds):
+        parts.append(f""",
+p{r} AS MATERIALIZED (
+  SELECT v FROM v{r} WHERE v NOT IN (SELECT dst FROM d{r})
+),
+v{r + 1} AS MATERIALIZED (
+  SELECT v FROM v{r} WHERE v NOT IN (SELECT v FROM p{r})
+),
+d{r + 1} AS MATERIALIZED (
+  SELECT d.src, d.dst FROM d{r} d JOIN v{r + 1} s ON d.src = s.v
+)""")
+    sel = "\nUNION ALL\n".join(
+        [
+            f"SELECT v, CAST({r} AS BIGINT) AS layer FROM p{r}"
+            for r in range(rounds)
+        ]
+        + [f"SELECT v, CAST(-1 AS BIGINT) AS layer FROM v{rounds}"]
+    )
+    parts.append("\n" + sel)
+    return "".join(parts)
+
+
 def _kmeans_sql_ctes(k: int, iters: int, dim: int) -> str:
     """Shared CTE chain for the k-means / IVF twins: deterministic
     farthest-point (maxmin) seeding unrolled seed-by-seed, then
@@ -2585,6 +2621,19 @@ def q_k_truss_3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return truss
 
 
+def q_kahn_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded (12-round) synchronous Kahn peel of the string-keyed
+    transcript digraph (algos/toposort.py): layer = peel round = longest
+    source path; −1 = not peeled within the bound (cyclic — the
+    role→role subgraph — or deeper than 12, e.g. long turn chains).
+    Full per-vertex assignment, hash-checked against the round-unrolled
+    twin _kahn_sql(12)."""
+    from montecarlopagerank_spark.algos.toposort import kahn_peel
+
+    out, _info = kahn_peel(spark, _string_edges(spark, sf_dir), max_rounds=12)
+    return out
+
+
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
@@ -3143,6 +3192,7 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
     "k_truss_3": q_k_truss_3,
+    "kahn_layers": q_kahn_layers,
     "funnel_view_click_purchase": q_funnel_view_click_purchase,
     "retention_weekly": q_retention_weekly,
     "event_transitions": q_event_transitions,
@@ -3335,6 +3385,7 @@ FROM verts LEFT JOIN od USING (v) LEFT JOIN idg USING (v)
     "scc_sizes": _scc_sql(),
     "k_core_2": _kcore_sql(2, 28),
     "k_truss_3": _truss_sql(3, 8),
+    "kahn_layers": _kahn_sql(12),
     "label_propagation_fixed2": _lpa_sql(2),
     "label_propagation_sizes": _lpa_sql(10),
     "triangle_count": f"""
