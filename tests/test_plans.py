@@ -58,7 +58,14 @@ def test_no_row_python_in_plan(spark, name):
 
 
 def test_column_pruning_reaches_scan(spark):
-    """A 2-column projection of documents must not read `text`."""
+    """A 2-column projection of documents must not read `text`.
+
+    clearCache first: if any earlier test persisted the bare documents
+    scan, Spark's cached-plan substitution would serve this read from
+    the InMemoryRelation — whose embedded FileScan string still shows
+    the ORIGINAL (empty) pushdown — and the assertion would probe the
+    cache, not the optimizer."""
+    spark.catalog.clearCache()
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = _plan(docs.select("doc_id", "lang"))
     import re
@@ -68,6 +75,7 @@ def test_column_pruning_reaches_scan(spark):
 
 
 def test_predicate_pushdown_reaches_scan(spark):
+    spark.catalog.clearCache()  # same cached-plan-substitution guard as above
     plan = _plan(
         spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
             "n_chars > 100"
