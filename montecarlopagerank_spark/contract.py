@@ -1123,6 +1123,66 @@ d{r + 1} AS MATERIALIZED (
     return "".join(parts)
 
 
+def _msf_sql(rounds: int, jumps: int) -> str:
+    """Deterministic-Borůvka MSF twin (algos/msf.py, md5 priorities):
+    per round every live component's min-priority cross edge joins the
+    forest, parent pointers are 2-cycle-broken at the smaller label and
+    pointer-jumped ``jumps`` times (reach 2^jumps ≥ any md5-weight merge
+    depth — the engine verifies ITS flatten and flags otherwise), labels
+    re-root, repeat. Components at least halve per round, so ``rounds``
+    ≥ ⌈log₂ V⌉ replays the full run; past the fixpoint every round is
+    the identity (no cross edges → empty pick set)."""
+    parts = [
+        ("WITH " + SQL_TEDGES[1:]).replace("tedges AS (", "tedges AS MATERIALIZED ("),
+        """,
+pr AS MATERIALIZED (
+  SELECT x, y, md5(x || '#' || y) || '|' || x || '#' || y AS pri FROM (
+    SELECT DISTINCT LEAST(src, dst) AS x, GREATEST(src, dst) AS y
+    FROM tedges WHERE src <> dst)
+),
+lab0 AS MATERIALIZED (
+  SELECT v, v AS lbl FROM (SELECT x AS v FROM pr UNION SELECT y FROM pr)
+)""",
+    ]
+    for r in range(rounds):
+        parts.append(f""",
+cand{r} AS MATERIALIZED (
+  SELECT lx.lbl AS cx, ly.lbl AS cy, p.pri, p.x, p.y
+  FROM pr p JOIN lab{r} lx ON p.x = lx.v JOIN lab{r} ly ON p.y = ly.v
+  WHERE lx.lbl <> ly.lbl
+),
+sym{r} AS (
+  SELECT cx AS c, cy AS o, pri, x, y FROM cand{r}
+  UNION ALL SELECT cy, cx, pri, x, y FROM cand{r}
+),
+mn{r} AS (SELECT c, MIN(pri) AS mp FROM sym{r} GROUP BY c),
+me{r} AS MATERIALIZED (
+  SELECT s.c, s.o, s.x, s.y FROM sym{r} s
+  JOIN mn{r} m ON s.c = m.c AND s.pri = m.mp
+),
+ch{r} AS MATERIALIZED (SELECT DISTINCT x, y FROM me{r}),
+j{r}_0 AS MATERIALIZED (
+  SELECT a.c, CASE WHEN b.o = a.c AND a.c < a.o THEN a.c ELSE a.o END AS r
+  FROM me{r} a JOIN me{r} b ON a.o = b.c
+)""")
+        for i in range(jumps):
+            parts.append(f""",
+j{r}_{i + 1} AS MATERIALIZED (
+  SELECT a.c, b.r FROM j{r}_{i} a JOIN j{r}_{i} b ON a.r = b.c
+)""")
+        parts.append(f""",
+lab{r + 1} AS MATERIALIZED (
+  SELECT l.v, COALESCE(j.r, l.lbl) AS lbl
+  FROM lab{r} l LEFT JOIN j{r}_{jumps} j ON l.lbl = j.c
+)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT x, y, CAST({r} AS BIGINT) AS round FROM ch{r}"
+        for r in range(rounds)
+    )
+    parts.append("\n" + sel)
+    return "".join(parts)
+
+
 def _kmeans_sql_ctes(k: int, iters: int, dim: int) -> str:
     """Shared CTE chain for the k-means / IVF twins: deterministic
     farthest-point (maxmin) seeding unrolled seed-by-seed, then
@@ -2634,6 +2694,22 @@ def q_kahn_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_msf_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unique minimum spanning forest of the string-keyed transcript
+    graph's undirected closure under md5 edge priorities (deterministic
+    Borůvka, algos/msf.py) — full edge list with the round each edge
+    joined, hash-checked against the round-unrolled twin
+    _msf_sql(14, 10). Convergence (incl. verified pointer-jump
+    flattening) is asserted, so a hash match is never coincidental."""
+    from montecarlopagerank_spark.algos.msf import minimum_spanning_forest
+
+    out, info = minimum_spanning_forest(
+        spark, _string_edges(spark, sf_dir), max_rounds=14, jump_rounds=10
+    )
+    assert info["converged"], f"MSF did not converge: {info}"
+    return out
+
+
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
@@ -3193,6 +3269,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "k_truss_3": q_k_truss_3,
     "kahn_layers": q_kahn_layers,
+    "msf_forest": q_msf_forest,
     "funnel_view_click_purchase": q_funnel_view_click_purchase,
     "retention_weekly": q_retention_weekly,
     "event_transitions": q_event_transitions,
@@ -3386,6 +3463,7 @@ FROM verts LEFT JOIN od USING (v) LEFT JOIN idg USING (v)
     "k_core_2": _kcore_sql(2, 28),
     "k_truss_3": _truss_sql(3, 8),
     "kahn_layers": _kahn_sql(12),
+    "msf_forest": _msf_sql(14, 10),
     "label_propagation_fixed2": _lpa_sql(2),
     "label_propagation_sizes": _lpa_sql(10),
     "triangle_count": f"""
