@@ -281,6 +281,24 @@ def main() -> None:
             docs, id_col="doc_id", text_col="text", size=200, stride=160
         ).agg(F.sum("chunk_len")).collect()
 
+    with timed("pack_butterfly"):
+        from montecarlopagerank_spark.operators.projection import butterfly_stats
+        from montecarlopagerank_spark.pipeline.sampling import pack_sequences
+
+        extra["pack_chunks"] = int(
+            pack_sequences(docs, id_col="doc_id", text_col="text", budget=512)
+            .agg(F.max("chunk_last"))
+            .collect()[0][0]
+            + 1
+        )
+        extra["butterflies"] = int(
+            butterfly_stats(
+                ts.select("conv_id", "tool"),
+                group_col="conv_id",
+                item_col="tool",
+            ).collect()[0]["n_butterflies"]
+        )
+
     # centrality beyond PageRank + symmetry breaking
     from montecarlopagerank_spark.algos.katz import katz as katz_centrality
     from montecarlopagerank_spark.algos.mis import luby_mis
@@ -314,6 +332,20 @@ def main() -> None:
         cols, cinfo = greedy_coloring(spark, edges)
         extra["coloring_n_colors"] = cinfo["n_colors"]
     extra["coloring_rounds"] = cinfo["rounds"]
+
+    with timed("msf"):
+        from montecarlopagerank_spark.algos.msf import minimum_spanning_forest
+
+        _forest, msfinfo = minimum_spanning_forest(spark, edges)
+        extra["msf_edges"] = msfinfo["n_edges"]
+    extra["msf_rounds"] = msfinfo["rounds"]
+
+    with timed("kahn_peel"):
+        from montecarlopagerank_spark.algos.toposort import kahn_peel
+
+        _layers, kinfo = kahn_peel(spark, edges, max_rounds=24)
+        extra["kahn_unresolved"] = kinfo["n_unresolved"]
+    extra["kahn_rounds"] = kinfo["rounds"]
 
     with timed("louvain_4x2"):
         from montecarlopagerank_spark.algos.louvain import louvain
