@@ -2791,6 +2791,34 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size stratified 25% sample of documents per source
+    (pipeline/sampling.py::stratified_sample): each stratum keeps
+    exactly round-half-up(0.25·n) min-md5 rows. Full membership
+    hash-checked against the per-stratum ROW_NUMBER twin; the engine
+    side never opens a per-stratum global window (bucketed distributed
+    prefix rank)."""
+    from montecarlopagerank_spark.pipeline.sampling import stratified_sample
+
+    return stratified_sample(
+        _documents(spark, sf_dir), strata_col="source", key_col="doc_id",
+        frac=0.25,
+    ).select("doc_id", "source")
+
+
+def q_null_model_rewire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic configuration-model rewiring of the string-keyed
+    transcript multigraph (operators/nullmodel.py): position-paired
+    independent md5 orders of edge sources and destinations — exact
+    out-/in-degree preservation, all structure above the degree
+    sequence destroyed (the motif-significance null). Hash-checked
+    against DuckDB's two-ROW_NUMBER twin."""
+    from montecarlopagerank_spark.operators.nullmodel import rewire_configuration
+
+    e = _string_edges(spark, sf_dir).select("src", "dst")
+    return rewire_configuration(e)
+
+
 def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view→click→purchase over events: per-step user
     counts under greedy earliest in-order matching (pipeline/funnel.py,
@@ -3267,6 +3295,8 @@ QUERIES = {
     "mixture_sample_counts": q_mixture_sample_counts,
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
+    "stratified_sample_docs": q_stratified_sample_docs,
+    "null_model_rewire": q_null_model_rewire,
     "k_truss_3": q_k_truss_3,
     "kahn_layers": q_kahn_layers,
     "msf_forest": q_msf_forest,
@@ -3940,6 +3970,32 @@ SELECT doc_id, n_tok, CAST(tok_start AS BIGINT) AS tok_start,
        CAST((tok_start + GREATEST(n_tok, 1) - 1) // 512
             - tok_start // 512 + 1 AS BIGINT) AS n_chunks
 FROM o
+""",
+    "stratified_sample_docs": """
+WITH d AS (
+  SELECT doc_id, source,
+         md5('strat:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) - 1 AS pos,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM d
+)
+SELECT doc_id, source FROM r WHERE pos < FLOOR(0.25 * n + 0.5)
+""",
+    "null_model_rewire": f"""
+WITH {SQL_TEDGES[1:]},
+s AS (
+  SELECT src, dst,
+         md5('s#' || src || '#' || dst) AS hs,
+         md5('d#' || src || '#' || dst) AS hd
+  FROM tedges
+),
+rs AS (SELECT src, ROW_NUMBER() OVER (ORDER BY hs, src, dst) - 1 AS pos FROM s),
+rd AS (SELECT dst, ROW_NUMBER() OVER (ORDER BY hd, src, dst) - 1 AS pos FROM s)
+SELECT CAST(rs.pos AS BIGINT) AS pos, rs.src AS src, rd.dst AS dst
+FROM rs JOIN rd USING(pos)
 """,
     # greedy in-order funnel: t1 = min step-1 ts, t_i = min step-i ts >= t_{i-1}
     "funnel_view_click_purchase": """

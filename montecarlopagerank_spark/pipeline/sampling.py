@@ -269,3 +269,102 @@ def pack_sequences(
         )
         .drop("_h", "_b")
     )
+
+
+def _global_rank(
+    df: DataFrame,
+    *,
+    h_col: str,
+    tie_cols: list[str],
+    part_cols: list[str] | None = None,
+    n_buckets: int = 256,
+    out_col: str = "pos",
+) -> DataFrame:
+    """0-based global rank of every row under ``ORDER BY (h, ties)``
+    (within each ``part_cols`` group if given) WITHOUT a single-partition
+    window: ``h`` must be a lowercase fixed-width hex column (md5), whose
+    leading byte(s) define bucket ranges that are PREFIX ranges of the
+    sort order, so rank = (exclusive count of earlier buckets, computed
+    driver-side from a ≤ groups×n_buckets-row aggregate) + intra-bucket
+    ``row_number``. The same distributed-prefix shape as
+    :func:`pack_sequences`, generalized to ranks and partitioned use.
+
+    Rows tying on ``(h, ties)`` receive distinct but arbitrarily-ordered
+    ranks — callers must be tie-interchangeable (identical payload within
+    a tie group) for cross-engine determinism."""
+    from pyspark.sql import Window
+
+    n_hex = max(1, (n_buckets - 1).bit_length() + 3 >> 2)
+    part_cols = list(part_cols or [])
+    d = df.withColumn(
+        "_rb", F.conv(F.substring(h_col, 1, n_hex), 16, 10).cast("long")
+    )
+    counts = (
+        d.groupBy(*part_cols, "_rb").agg(F.count(F.lit(1)).alias("_n")).collect()
+    )
+    # exclusive prefix within each part group, bucket-ascending
+    by_part: dict = {}
+    for r in counts:
+        key = tuple(r[c] for c in part_cols)
+        by_part.setdefault(key, []).append((r["_rb"], r["_n"]))
+    bases = []
+    for key, lst in by_part.items():
+        acc = 0
+        for b, n in sorted(lst):
+            bases.append((*key, b, acc))
+            acc += n
+    # base frame typed like the part columns (empty input → empty frame)
+    base_schema = (
+        ", ".join(f"{c} {df.schema[c].dataType.simpleString()}" for c in part_cols)
+        + (", " if part_cols else "")
+        + "_rb long, _base long"
+    )
+    base_df = df.sparkSession.createDataFrame(bases, base_schema)
+    w = Window.partitionBy(*part_cols, "_rb").orderBy(h_col, *tie_cols)
+    return (
+        d.join(F.broadcast(base_df), [*part_cols, "_rb"])
+        .withColumn(out_col, F.col("_base") + F.row_number().over(w) - 1)
+        .drop("_rb", "_base")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    *,
+    strata_col: str,
+    key_col: str,
+    frac: float,
+    salt: str = "strat:",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Exact-size stratified sample: from each stratum of size n keep
+    exactly ``round-half-up(frac·n)`` rows — the ones with the smallest
+    ``md5(salt + key)`` — so every stratum is represented at precisely
+    the target rate (the balanced-eval-set need ``mixture_sample``'s
+    threshold filter only hits in expectation). Deterministic: a pure
+    function of the key set per stratum; nested for growing ``frac``
+    within a fixed stratum (bottom-k property).
+
+    Scale shape: a stratum can be 10^10 rows, so NO per-stratum global
+    window — per-(stratum, md5-prefix-bucket) ``row_number`` plus
+    driver-side exclusive bucket bases (``_global_rank``: the aggregate
+    the driver sees is ≤ strata·n_buckets rows), one shuffle; the
+    per-stratum sizes ride the same aggregate."""
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"frac must be in [0, 1], got {frac}")
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    d = df.withColumn("_h", h)
+    ranked = _global_rank(
+        d, h_col="_h", tie_cols=[key_col], part_cols=[strata_col],
+        n_buckets=n_buckets,
+    )
+    sizes = (
+        d.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_k", F.floor(F.lit(frac) * F.col("_n") + F.lit(0.5)))
+        .select(strata_col, "_k")
+    )
+    return (
+        ranked.join(F.broadcast(sizes), strata_col)
+        .filter(F.col("pos") < F.col("_k"))
+        .drop("_h", "pos", "_k")
+    )

@@ -2,12 +2,15 @@
 
 from __future__ import annotations
 
+import random
+
 import pytest
 from pyspark.sql import functions as F
 
 from montecarlopagerank_spark.pipeline.sampling import (
     chunk_text,
     pack_sequences,
+    stratified_sample,
     hash_split,
     mixture_sample,
 )
@@ -239,3 +242,90 @@ def test_pack_sequences_validates_args(spark):
         pack_sequences(df, id_col="doc_id", text_col="text", budget=0)
     with pytest.raises(ValueError):
         pack_sequences(df, id_col="doc_id", text_col="text", budget=8, n_buckets=3)
+
+
+def strat_naive(rows, frac):
+    """Python twin: per-stratum round-half-up(frac*n) min-md5 keys."""
+    import hashlib
+    import math
+
+    by_s: dict = {}
+    for key, s in rows:
+        by_s.setdefault(s, []).append(key)
+    kept = set()
+    for s, keys in by_s.items():
+        k = math.floor(frac * len(keys) + 0.5)
+        order = sorted(
+            keys, key=lambda x: (hashlib.md5(f"strat:{x}".encode()).hexdigest(), x)
+        )
+        kept.update((x, s) for x in order[:k])
+    return kept
+
+
+def test_stratified_exact_sizes_and_membership(spark):
+    rows = [(i, f"s{i % 4}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_sample(
+        df, strata_col="source", key_col="doc_id", frac=0.3
+    ).collect()
+    got = {(r.doc_id, r.source) for r in out}
+    assert got == strat_naive(rows, 0.3)
+    from collections import Counter
+
+    sizes = Counter(s for _, s in got)
+    assert all(v == 15 for v in sizes.values())  # round(0.3*50)=15 per stratum
+
+
+def test_stratified_nested_in_frac(spark):
+    rows = [(i, f"s{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    small = {
+        (r.doc_id, r.source)
+        for r in stratified_sample(
+            df, strata_col="source", key_col="doc_id", frac=0.2
+        ).collect()
+    }
+    big = {
+        (r.doc_id, r.source)
+        for r in stratified_sample(
+            df, strata_col="source", key_col="doc_id", frac=0.6
+        ).collect()
+    }
+    assert small <= big
+
+
+def test_stratified_validates_frac(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError):
+        stratified_sample(df, strata_col="source", key_col="doc_id", frac=1.5)
+
+
+def rewire_naive(pairs):
+    import hashlib
+
+    def h(salt, s, d):
+        return hashlib.md5(f"{salt}#{s}#{d}".encode()).hexdigest()
+
+    srcs = [
+        s for s, d in sorted(pairs, key=lambda e: (h("s", *e), e[0], e[1]))
+    ]
+    dsts = [
+        d for s, d in sorted(pairs, key=lambda e: (h("d", *e), e[0], e[1]))
+    ]
+    return dict(enumerate(zip(srcs, dsts)))
+
+
+def test_rewire_preserves_degrees_and_matches_twin(spark):
+    from collections import Counter
+
+    from montecarlopagerank_spark.operators.nullmodel import rewire_configuration
+
+    rng = random.Random(61)
+    pairs = [(rng.randint(0, 15), rng.randint(0, 15)) for _ in range(80)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    out = rewire_configuration(df).collect()
+    assert len(out) == len(pairs)
+    # exact multiset preservation of sources and of destinations
+    assert Counter(r.src for r in out) == Counter(s for s, _ in pairs)
+    assert Counter(r.dst for r in out) == Counter(d for _, d in pairs)
+    assert {r.pos: (r.src, r.dst) for r in out} == rewire_naive(pairs)
