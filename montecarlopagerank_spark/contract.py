@@ -1183,6 +1183,71 @@ lab{r + 1} AS MATERIALIZED (
     return "".join(parts)
 
 
+def _densest_sql(rounds: int, factor: str = "3.0") -> str:
+    """Bahmani threshold-peeling twin (algos/densest.py, ε=0.5 →
+    factor 3.0): per round drop every vertex with degree ≤ factor·ρ of
+    the surviving closure, record ρ = |E|/|V| per round, return the
+    vertex set of the densest round (ties → earliest). The threshold
+    double is ``factor * ((sym_count / 2.0) / v_count)`` — the exact
+    IEEE operation order the engine uses, so the comparisons agree
+    bit-for-bit. Past extinction every round is empty (NULL density,
+    excluded from the argmax), so ``rounds`` ≥ the engine's depth
+    replays the full run."""
+    mat = (
+        ("WITH " + SQL_TEDGES[1:])
+        .replace("turns AS (", "turns AS MATERIALIZED (")
+        .replace("chained AS (", "chained AS MATERIALIZED (")
+        .replace("tedges AS (", "tedges AS MATERIALIZED (")
+    )
+    parts = [
+        mat,
+        """,
+s0 AS MATERIALIZED (
+  SELECT DISTINCT u, w FROM (
+    SELECT src AS u, dst AS w FROM tedges WHERE src <> dst
+    UNION ALL
+    SELECT dst AS u, src AS w FROM tedges WHERE src <> dst
+  )
+),
+l0 AS MATERIALIZED (SELECT DISTINCT u AS v FROM s0)""",
+    ]
+    for r in range(rounds):
+        parts.append(f""",
+l{r + 1} AS MATERIALIZED (
+  SELECT l.v FROM l{r} l LEFT JOIN s{r} s ON s.u = l.v
+  GROUP BY l.v
+  HAVING COUNT(s.w) > {factor} * (
+    CAST((SELECT COUNT(*) FROM s{r}) AS DOUBLE) / 2.0
+    / (SELECT COUNT(*) FROM l{r}))
+),
+s{r + 1} AS MATERIALIZED (
+  SELECT s.u, s.w FROM s{r} s
+  JOIN l{r + 1} a ON s.u = a.v JOIN l{r + 1} b ON s.w = b.v
+)""")
+    dens_rows = "\n  UNION ALL\n".join(
+        f"""  SELECT {r} AS round,
+    CAST((SELECT COUNT(*) FROM s{r}) AS DOUBLE) / 2.0
+    / NULLIF((SELECT COUNT(*) FROM l{r}), 0) AS d"""
+        for r in range(rounds + 1)
+    )
+    all_rows = "\n  UNION ALL\n".join(
+        f"  SELECT {r} AS round, v FROM l{r}" for r in range(rounds + 1)
+    )
+    parts.append(f""",
+dens AS (
+{dens_rows}
+),
+best AS (
+  SELECT round FROM dens WHERE d IS NOT NULL
+  ORDER BY d DESC, round ASC LIMIT 1
+),
+allv AS (
+{all_rows}
+)
+SELECT v FROM allv WHERE round = (SELECT round FROM best)""")
+    return "".join(parts)
+
+
 def _kmeans_sql_ctes(k: int, iters: int, dim: int) -> str:
     """Shared CTE chain for the k-means / IVF twins: deterministic
     farthest-point (maxmin) seeding unrolled seed-by-seed, then
@@ -2710,6 +2775,20 @@ def q_msf_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertex set of the 3-approx densest subgraph (Bahmani ε=0.5
+    threshold peeling, algos/densest.py) of the string-keyed transcript
+    closure — hash-checked against the round-unrolled twin
+    _densest_sql(24), whose threshold doubles use the engine's exact
+    IEEE operation order. Convergence within the twin's unroll depth is
+    asserted, so a hash match is never coincidental."""
+    from montecarlopagerank_spark.algos.densest import densest_subgraph
+
+    out, info = densest_subgraph(spark, _string_edges(spark, sf_dir), eps=0.5)
+    assert info["converged"] and info["rounds"] <= 24, f"densest: {info}"
+    return out
+
+
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
@@ -3300,6 +3379,7 @@ QUERIES = {
     "k_truss_3": q_k_truss_3,
     "kahn_layers": q_kahn_layers,
     "msf_forest": q_msf_forest,
+    "densest_subgraph": q_densest_subgraph,
     "funnel_view_click_purchase": q_funnel_view_click_purchase,
     "retention_weekly": q_retention_weekly,
     "event_transitions": q_event_transitions,
@@ -3494,6 +3574,7 @@ FROM verts LEFT JOIN od USING (v) LEFT JOIN idg USING (v)
     "k_truss_3": _truss_sql(3, 8),
     "kahn_layers": _kahn_sql(12),
     "msf_forest": _msf_sql(14, 10),
+    "densest_subgraph": _densest_sql(24),
     "label_propagation_fixed2": _lpa_sql(2),
     "label_propagation_sizes": _lpa_sql(10),
     "triangle_count": f"""
