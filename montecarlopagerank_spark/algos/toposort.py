@@ -12,21 +12,30 @@ invariant, no tie-break needed.
 Run to fixpoint (``max_rounds=None``) the peel is an exact cycle
 diagnosis: it stalls precisely when every remaining vertex has an
 incoming live edge, i.e. the residue is exactly the set of vertices on
-or reachable from a directed cycle (each peel round preserves this
-invariant), and ``layer = -1`` marks them. With a bound, ``-1`` means
-"not peeled within ``max_rounds``" — cyclic OR deeper than the bound —
-which is what the unrolled DuckDB twin reproduces round-for-round
-(contract.py ``_kahn_sql``).
+or reachable from a directed cycle, and ``layer = -1`` marks them. With
+a bound, ``-1`` means "not peeled within ``max_rounds``" — cyclic OR
+deeper than the bound — which is what the unrolled DuckDB twin
+reproduces round-for-round (contract.py ``_kahn_sql``; the twin
+restricts a live edge set instead, an equivalent formulation).
 
-Scale shape (mirrors kcore.py): state = the shrinking live edge list +
-live vertex list, re-materialized per round (StateStore, flat plans).
-Per round: peel = live verts anti-join live-edge destinations (O(V),
-``shuffle_hash``), then the two state writes restrict verts/edges by
-the peel — the peeled count rides the peel write via ``observe``, so a
-round is three jobs, each a single exchange of an O(V) side; the O(E)
-table is only ever semi-join-restricted, never re-keyed. Rounds = depth
-of the acyclic prefix (longest source-to-vertex path), the intrinsic
-span of the parallel algorithm.
+Implementation — the layer recurrence, not an explicit peel: a round
+recomputes ``layer(v) = 0`` for in-degree-0 vertices, else
+``1 + max(in-neighbour layers)`` if EVERY in-neighbour's layer is known
+(null otherwise, incl. any self-loop: v's own null poisons its max
+forever). Assigned values are stable under recomputation (in-neighbour
+layers never change once set), so a round needs NO carry-join of the
+previous assignment — the state is referenced exactly ONCE per round,
+giving a strictly linear plan that lets MULTIPLE rounds fuse into one
+job per state write (corenum.py's shape; round-2 of this module showed
+per-round data work is microseconds while each write costs ~1 s of
+fixed job+materialize overhead, so wall time ≈ writes, not rounds).
+
+Scale shape: the deduped edge table is exchanged ONCE (hash-partitioned
+by src) and pinned; per fused round one message pass d⋈state (map-side-
+combined max/null-count per dst — hub fan-in collapses to partials) and
+one O(V) left join against the pinned vertex table. Assigned-count
+rides each write via ``observe``; assignment is monotone, so count
+equality across writes is an exact stall test.
 """
 
 from __future__ import annotations
@@ -36,6 +45,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from montecarlopagerank_spark.operators.state import StateStore
 
@@ -44,97 +54,100 @@ def kahn_peel(
     spark: SparkSession,
     edges: DataFrame,
     max_rounds: int | None = None,
+    rounds_per_job: int = 4,
+    n_partitions: int | None = None,
 ) -> tuple[DataFrame, dict[str, Any]]:
     """``edges(src, dst)`` → (``layers(v, layer)``, info) over the directed
     simple graph (parallel edges deduped, self-loops kept — a self-loop
     IS a cycle). ``layer`` = peel round (longest source path); ``-1`` =
     not peeled (exactly the cycle-tainted residue when run to fixpoint,
     i.e. ``max_rounds=None``). ``info['converged']`` is True iff the
-    fixpoint was reached — all vertices peeled, or a round peeled none;
-    ``info['n_unresolved']`` counts the ``-1`` rows."""
+    fixpoint was reached; ``info['rounds']`` is the peel depth actually
+    realized (max assigned layer + 1); ``info['n_unresolved']`` counts
+    the ``-1`` rows."""
     t0 = time.time()
+    n_parts = int(n_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
     store = StateStore(spark)
 
-    obs0 = Observation("kahn_init")
-    d = store.materialize(
+    d = (
         edges.select("src", "dst")
         .distinct()
-        .observe(obs0, F.count(F.lit(1)).alias("n")),
-        "kahn_edges",
+        .repartition(n_parts, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    live_e = int(obs0.get["n"])
-    v = store.materialize(
+    d.count()
+    verts = store.materialize(
         d.select(F.col("src").alias("v"))
         .unionByName(d.select(F.col("dst").alias("v")))
         .distinct(),
         "kahn_verts",
     )
+    vstate = store.materialize(
+        verts.select("v", F.lit(None).cast("long").alias("layer")),
+        "kahn_vstate",
+    )
 
-    peels: list[DataFrame] = []
-    rounds, converged = 0, False
-    it = 0
-    while max_rounds is None or it < max_rounds:
-        if live_e == 0:
-            # no live edges: every remaining vertex is a source — peel
-            # them all in one final layer and stop
-            if v.isEmpty():
-                converged = True
-                break
-            peels.append(
-                store.materialize(
-                    v.select("v", F.lit(it).cast("long").alias("layer")),
-                    f"kahn_peel_{it}",
-                )
-            )
-            v = store.materialize(v.limit(0), "kahn_verts")
-            rounds += 1
-            converged = True
-            break
-        obs = Observation(f"kahn_peel_{it}")
-        # zero-in-degree ⇔ not a destination of any live edge
-        peel = store.materialize(
-            v.join(
-                d.select(F.col("dst").alias("v")).distinct().hint("shuffle_hash"),
-                "v",
-                "left_anti",
-            )
-            .select("v", F.lit(it).cast("long").alias("layer"))
-            .observe(obs, F.count(F.lit(1)).alias("n")),
-            f"kahn_peel_{it}",
-        )
-        n_peeled = int(obs.get["n"])
-        if n_peeled == 0:  # stalled: residue is cycle-tainted, exact
-            converged = True
-            break
-        peels.append(peel)
-        v = store.materialize(
-            v.join(peel.select("v").hint("shuffle_hash"), "v", "left_anti"),
-            "kahn_verts",
-        )
-        obs_e = Observation(f"kahn_edges_{it}")
-        d = store.materialize(
+    def one_round(st: DataFrame) -> DataFrame:
+        msg = (
             d.join(
-                v.withColumnRenamed("v", "src").hint("shuffle_hash"),
-                "src",
-                "left_semi",
-            ).observe(obs_e, F.count(F.lit(1)).alias("n")),
-            "kahn_edges",
+                st.withColumnRenamed("v", "src").hint("shuffle_hash"), "src"
+            )
+            .groupBy(F.col("dst").alias("v"))
+            .agg(
+                F.max("layer").alias("_mx"),
+                F.sum(F.col("layer").isNull().cast("long")).alias("_nn"),
+            )
         )
-        live_e = int(obs_e.get["n"])
-        rounds += 1
-        it += 1
+        return verts.join(msg.hint("shuffle_hash"), "v", "left").select(
+            "v",
+            F.when(F.col("_nn").isNull(), F.lit(0).cast("long"))
+            .when(F.col("_nn") == 0, F.col("_mx") + F.lit(1))
+            .alias("layer"),
+        )
 
-    unresolved = v.select("v", F.lit(-1).cast("long").alias("layer"))
-    out = unresolved
-    for p in peels:
-        out = out.unionByName(p)
-    from pyspark.storagelevel import StorageLevel
+    prev_assigned = 0
+    done, converged = 0, False
+    while max_rounds is None or done < max_rounds:
+        k = (
+            rounds_per_job
+            if max_rounds is None
+            else min(rounds_per_job, max_rounds - done)
+        )
+        st = vstate
+        for _ in range(k):
+            st = one_round(st)
+        obs = Observation(f"kahn_block_{done}")
+        vstate = store.materialize(
+            st.observe(
+                obs,
+                F.sum(F.col("layer").isNotNull().cast("long")).alias("n"),
+                F.count(F.lit(1)).alias("total"),
+            ),
+            "kahn_vstate",
+        )
+        assigned = int(obs.get["n"] or 0)
+        total = int(obs.get["total"] or 0)
+        done += k
+        if assigned == total:
+            converged = True
+            break
+        if assigned == prev_assigned:  # monotone ⇒ exact stall test
+            converged = True
+            break
+        prev_assigned = assigned
 
-    out = out.persist(StorageLevel.MEMORY_AND_DISK)
-    n_unresolved = out.filter(F.col("layer") < 0).count()
+    d.unpersist()
+    out = vstate.select(
+        "v", F.coalesce("layer", F.lit(-1).cast("long")).alias("layer")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    agg = out.agg(
+        F.max("layer").alias("mx"),
+        F.sum((F.col("layer") < 0).cast("long")).alias("unres"),
+    ).collect()[0]
+    depth = int(agg["mx"]) + 1 if agg["mx"] is not None and agg["mx"] >= 0 else 0
     return out, {
-        "rounds": rounds,
+        "rounds": depth,
         "converged": converged,
-        "n_unresolved": n_unresolved,
+        "n_unresolved": int(agg["unres"] or 0),
         "secs": round(time.time() - t0, 3),
     }
