@@ -347,6 +347,13 @@ def main() -> None:
         extra["kahn_unresolved"] = kinfo["n_unresolved"]
     extra["kahn_rounds"] = kinfo["rounds"]
 
+    with timed("densest_subgraph"):
+        from montecarlopagerank_spark.algos.densest import densest_subgraph
+
+        _dv, dinfo = densest_subgraph(spark, edges)
+        extra["densest_density"] = dinfo["best_density"]
+    extra["densest_rounds"] = dinfo["rounds"]
+
     with timed("louvain_4x2"):
         from montecarlopagerank_spark.algos.louvain import louvain
 
