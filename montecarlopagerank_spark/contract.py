@@ -1248,6 +1248,53 @@ SELECT v FROM allv WHERE round = (SELECT round FROM best)""")
     return "".join(parts)
 
 
+def _temporal_reach_sql(hops: int) -> str:
+    """Earliest-arrival temporal reachability twin
+    (algos/temporal_reach.py): timestamped string edges (t = µs of the
+    current turn), sources = conversation-start turns at their own ts,
+    ``hops`` unrolled (state ∪ usable-messages) min-rounds — all int64
+    µs, no doubles. Past the fixpoint rounds are the identity, so
+    ``hops`` ≥ the engine's early-stop depth replays the run."""
+    parts = [
+        ("WITH " + SQL_TURNS[1:]).replace("turns AS (", "turns AS MATERIALIZED ("),
+        """,
+tch AS MATERIALIZED (
+  SELECT conv_id, turn_idx, role, tool, epoch_us(ts) AS t,
+         LAG(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_turn,
+         LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+  FROM turns
+),
+te AS MATERIALIZED (
+  SELECT 'turn#' || conv_id || '#' || CAST(prev_turn AS VARCHAR) AS src,
+         'turn#' || conv_id || '#' || CAST(turn_idx AS VARCHAR) AS dst, t
+  FROM tch WHERE prev_turn IS NOT NULL
+  UNION ALL
+  SELECT 'role#' || prev_role, 'role#' || role, t
+  FROM tch WHERE prev_role IS NOT NULL
+  UNION ALL
+  SELECT 'turn#' || conv_id || '#' || CAST(turn_idx AS VARCHAR),
+         'tool#' || tool, t
+  FROM tch WHERE tool IS NOT NULL
+),
+ea0 AS MATERIALIZED (
+  SELECT 'turn#' || conv_id || '#0' AS v, MIN(epoch_us(ts)) AS ea
+  FROM turns WHERE turn_idx = 0 GROUP BY 1
+)""",
+    ]
+    for r in range(hops):
+        parts.append(f""",
+ea{r + 1} AS MATERIALIZED (
+  SELECT v, MIN(ea) AS ea FROM (
+    SELECT v, ea FROM ea{r}
+    UNION ALL
+    SELECT e.dst AS v, e.t AS ea FROM te e
+    JOIN ea{r} a ON e.src = a.v WHERE e.t >= a.ea
+  ) GROUP BY v
+)""")
+    parts.append(f"\nSELECT v, CAST(ea AS BIGINT) AS ea_us FROM ea{hops}")
+    return "".join(parts)
+
+
 def _kmeans_sql_ctes(k: int, iters: int, dim: int) -> str:
     """Shared CTE chain for the k-means / IVF twins: deterministic
     farthest-point (maxmin) seeding unrolled seed-by-seed, then
@@ -2789,6 +2836,25 @@ def q_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest-arrival temporal reachability (≤ 8 time-respecting hops)
+    from every conversation-start turn over the timestamped transcript
+    edges (algos/temporal_reach.py) — per reached vertex the earliest
+    int64-µs arrival, hash-checked against the round-unrolled twin
+    _temporal_reach_sql(8). All-integer arithmetic: no doubles anywhere."""
+    from montecarlopagerank_spark.algos.temporal_reach import earliest_arrival
+    from montecarlopagerank_spark.operators.edges import timestamped_string_edges
+
+    ts = transcripts_from_events(spark, sf_dir)
+    te = timestamped_string_edges(ts)
+    srcs = ts.filter(F.col("turn_idx") == 0).select(
+        F.concat(F.lit("turn#"), F.col("conv_id"), F.lit("#0")).alias("v"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t0"),
+    )
+    out, _info = earliest_arrival(spark, te, srcs, max_hops=8)
+    return out.select("v", F.col("ea").alias("ea_us"))
+
+
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
@@ -3380,6 +3446,7 @@ QUERIES = {
     "kahn_layers": q_kahn_layers,
     "msf_forest": q_msf_forest,
     "densest_subgraph": q_densest_subgraph,
+    "temporal_reachability": q_temporal_reachability,
     "funnel_view_click_purchase": q_funnel_view_click_purchase,
     "retention_weekly": q_retention_weekly,
     "event_transitions": q_event_transitions,
@@ -3575,6 +3642,7 @@ FROM verts LEFT JOIN od USING (v) LEFT JOIN idg USING (v)
     "kahn_layers": _kahn_sql(12),
     "msf_forest": _msf_sql(14, 10),
     "densest_subgraph": _densest_sql(24),
+    "temporal_reachability": _temporal_reach_sql(8),
     "label_propagation_fixed2": _lpa_sql(2),
     "label_propagation_sizes": _lpa_sql(10),
     "triangle_count": f"""

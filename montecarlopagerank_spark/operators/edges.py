@@ -74,6 +74,43 @@ def _typed_edges(transcripts: DataFrame) -> DataFrame:
     return turn_chain.unionByName(role_role).unionByName(turn_tool)
 
 
+def timestamped_string_edges(transcripts: DataFrame) -> DataFrame:
+    """String-keyed typed edges WITH int64-µs edge times for temporal
+    algorithms (algos/temporal_reach.py): ``(src, dst, t)`` where ``t``
+    is the µs timestamp of the CURRENT turn — the moment the chain edge
+    fires, the role transition happens, or the tool is invoked. Same
+    edge multiset as :func:`_typed_edges` keyed ``kind#key``; the skinny
+    projection keeps ``text`` out of the scan."""
+    t = transcripts.select("conv_id", "turn_idx", "role", "tool", "ts")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    chained = (
+        t.withColumn("prev_turn", F.lag("turn_idx").over(w))
+        .withColumn("prev_role", F.lag("role").over(w))
+        .withColumn("t", us)
+    )
+    turn_key = F.concat(
+        F.lit("turn#"), F.col("conv_id"), F.lit("#"), F.col("turn_idx").cast("string")
+    )
+    prev_turn_key = F.concat(
+        F.lit("turn#"), F.col("conv_id"), F.lit("#"), F.col("prev_turn").cast("string")
+    )
+    turn_chain = chained.filter(F.col("prev_turn").isNotNull()).select(
+        prev_turn_key.alias("src"), turn_key.alias("dst"), "t"
+    )
+    role_role = chained.filter(F.col("prev_role").isNotNull()).select(
+        F.concat(F.lit("role#"), F.col("prev_role")).alias("src"),
+        F.concat(F.lit("role#"), F.col("role")).alias("dst"),
+        "t",
+    )
+    turn_tool = chained.filter(F.col("tool").isNotNull()).select(
+        turn_key.alias("src"),
+        F.concat(F.lit("tool#"), F.col("tool")).alias("dst"),
+        "t",
+    )
+    return turn_chain.unionByName(role_role).unionByName(turn_tool)
+
+
 def build_vertex_dict(typed_edges: DataFrame, buckets: int = VERTEX_BUCKETS) -> DataFrame:
     """Distinct (kind, key) → ``vertices(vid:long, kind:string, key:string)``
     with deterministic dense vids (module docstring scheme)."""
