@@ -1295,6 +1295,53 @@ ea{r + 1} AS MATERIALIZED (
     return "".join(parts)
 
 
+def _wl_sql(rounds: int) -> str:
+    """1-WL color-refinement twin (algos/wl.py): color₀ = md5 of the
+    (out, in)-degree pair, each round re-hashes the own color with the
+    (Σ md5-prefix-hash, count) summaries of the out- and in-neighbour
+    color multisets — byte-identical strings both engines."""
+    hx = "('0x' || substr(md5({c}), 1, 8))::UBIGINT"
+    parts = [
+        ("WITH " + SQL_TEDGES[1:]).replace("tedges AS (", "tedges AS MATERIALIZED ("),
+        """,
+d AS MATERIALIZED (SELECT DISTINCT src, dst FROM tedges),
+verts AS MATERIALIZED (SELECT src AS v FROM d UNION SELECT dst FROM d),
+c0 AS MATERIALIZED (
+  SELECT verts.v,
+         md5(CAST(COALESCE(o.od, 0) AS VARCHAR) || '|' ||
+             CAST(COALESCE(i.ind, 0) AS VARCHAR)) AS color
+  FROM verts
+  LEFT JOIN (SELECT src AS v, COUNT(*) AS od FROM d GROUP BY 1) o
+    ON verts.v = o.v
+  LEFT JOIN (SELECT dst AS v, COUNT(*) AS ind FROM d GROUP BY 1) i
+    ON verts.v = i.v
+)""",
+    ]
+    for r in range(rounds):
+        parts.append(f""",
+om{r} AS MATERIALIZED (
+  SELECT d.src AS v, SUM({hx.format(c="c.color")}) AS os, COUNT(*) AS oc
+  FROM d JOIN c{r} c ON d.dst = c.v GROUP BY 1
+),
+im{r} AS MATERIALIZED (
+  SELECT d.dst AS v, SUM({hx.format(c="c.color")}) AS isum, COUNT(*) AS ic
+  FROM d JOIN c{r} c ON d.src = c.v GROUP BY 1
+),
+c{r + 1} AS MATERIALIZED (
+  SELECT c.v,
+         md5(c.color || '|' ||
+             CAST(COALESCE(om{r}.os, 0) AS VARCHAR) || '|' ||
+             CAST(COALESCE(om{r}.oc, 0) AS VARCHAR) || '|' ||
+             CAST(COALESCE(im{r}.isum, 0) AS VARCHAR) || '|' ||
+             CAST(COALESCE(im{r}.ic, 0) AS VARCHAR)) AS color
+  FROM c{r} c
+  LEFT JOIN om{r} ON c.v = om{r}.v
+  LEFT JOIN im{r} ON c.v = im{r}.v
+)""")
+    parts.append(f"\nSELECT v, color FROM c{rounds}")
+    return "".join(parts)
+
+
 def _kmeans_sql_ctes(k: int, iters: int, dim: int) -> str:
     """Shared CTE chain for the k-means / IVF twins: deterministic
     farthest-point (maxmin) seeding unrolled seed-by-seed, then
@@ -2855,6 +2902,18 @@ def q_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("v", F.col("ea").alias("ea_us"))
 
 
+def q_wl_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-WL structural colors after 3 refinement rounds on the
+    string-keyed transcript digraph (algos/wl.py) — the MPNN-
+    expressiveness fingerprint; full per-vertex assignment hash-checked
+    against the round-unrolled twin _wl_sql(3) (order-insensitive
+    Σ-hash multiset summaries, so no collect/sort anywhere)."""
+    from montecarlopagerank_spark.algos.wl import wl_colors
+
+    out, _info = wl_colors(spark, _string_edges(spark, sf_dir), rounds=3)
+    return out
+
+
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
@@ -3447,6 +3506,7 @@ QUERIES = {
     "msf_forest": q_msf_forest,
     "densest_subgraph": q_densest_subgraph,
     "temporal_reachability": q_temporal_reachability,
+    "wl_refinement": q_wl_refinement,
     "funnel_view_click_purchase": q_funnel_view_click_purchase,
     "retention_weekly": q_retention_weekly,
     "event_transitions": q_event_transitions,
@@ -3643,6 +3703,7 @@ FROM verts LEFT JOIN od USING (v) LEFT JOIN idg USING (v)
     "msf_forest": _msf_sql(14, 10),
     "densest_subgraph": _densest_sql(24),
     "temporal_reachability": _temporal_reach_sql(8),
+    "wl_refinement": _wl_sql(3),
     "label_propagation_fixed2": _lpa_sql(2),
     "label_propagation_sizes": _lpa_sql(10),
     "triangle_count": f"""
