@@ -1911,6 +1911,61 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RICH_KS = [2, 4, 8, 16]
+
+
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficients φ(k) = 2·E_k / (N_k(N_k−1)) of the
+    undirected simple closure for k ∈ {2,4,8,16} (Zhou-Mondragón 2004):
+    the edge density among vertices of degree > k — do this graph's
+    hubs interconnect? ONE pass over the degree-annotated pair set
+    cross-joined with the 4-row k list (broadcast); map-side-combined
+    counts; φ rounded to 6 with the same operation order both engines
+    (NULL when fewer than two rich vertices)."""
+    e = _string_edges(spark, sf_dir)
+    und = (
+        e.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("y"))
+        .distinct()
+    )
+    sym = und.select(F.col("x").alias("u"), F.col("y").alias("w")).unionByName(
+        und.select(F.col("y").alias("u"), F.col("x").alias("w"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    ks = spark.createDataFrame([(k,) for k in RICH_KS], "k long")
+    nr = (
+        deg.crossJoin(F.broadcast(ks))
+        .filter(F.col("d") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_rich"))
+    )
+    dx = deg.withColumnRenamed("u", "x").withColumnRenamed("d", "dx")
+    dy = deg.withColumnRenamed("u", "y").withColumnRenamed("d", "dy")
+    er = (
+        und.join(dx, "x")
+        .join(dy, "y")
+        .crossJoin(F.broadcast(ks))
+        .filter(F.least("dx", "dy") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("e_rich"))
+    )
+    n = F.coalesce("n_rich", F.lit(0))
+    ecnt = F.coalesce("e_rich", F.lit(0))
+    return (
+        ks.join(nr, "k", "left")
+        .join(er, "k", "left")
+        .select(
+            "k",
+            n.cast("bigint").alias("n_rich"),
+            ecnt.cast("bigint").alias("e_rich"),
+            F.when(
+                n >= 2,
+                F.round(F.lit(2.0) * ecnt / (n * (n - F.lit(1))), 6),
+            ).alias("phi_r6"),
+        )
+    )
+
+
 def q_pagerank_power_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5 exact supersteps (tol=0) — oracle-checked against the unrolled
     SQL twin to round(rank*n, 6)."""
@@ -3435,6 +3490,7 @@ QUERIES = {
     "degree_distribution": q_degree_distribution,
     "degree_quantiles": q_degree_quantiles,
     "degree_assortativity": q_degree_assortativity,
+    "rich_club": q_rich_club,
     "pagerank_power_fixed": q_pagerank_power_fixed,
     "pagerank_weighted_fixed": q_pagerank_weighted_fixed,
     "pagerank_power_top20": q_pagerank_power_top20,
@@ -3616,6 +3672,32 @@ sym AS (
 deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u)
 SELECT ROUND(CORR(du.d, dw.d), 6) AS assortativity_r6
 FROM sym JOIN deg du ON sym.u = du.u JOIN deg dw ON sym.w = dw.u
+""",
+    "rich_club": f"""
+WITH {SQL_TEDGES[1:]},
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS x, GREATEST(src, dst) AS y
+  FROM tedges WHERE src <> dst
+),
+sym AS (SELECT x AS u, y AS w FROM und UNION ALL SELECT y, x FROM und),
+deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+ks AS (SELECT UNNEST([2, 4, 8, 16]) AS k),
+nr AS (
+  SELECT k, COUNT(*) AS n_rich FROM deg, ks WHERE d > k GROUP BY k
+),
+er AS (
+  SELECT k, COUNT(*) AS e_rich
+  FROM und JOIN deg dx ON und.x = dx.u JOIN deg dy ON und.y = dy.u, ks
+  WHERE LEAST(dx.d, dy.d) > k GROUP BY k
+)
+SELECT CAST(ks.k AS BIGINT) AS k,
+       CAST(COALESCE(n_rich, 0) AS BIGINT) AS n_rich,
+       CAST(COALESCE(e_rich, 0) AS BIGINT) AS e_rich,
+       CASE WHEN COALESCE(n_rich, 0) >= 2 THEN
+         ROUND(2.0 * COALESCE(e_rich, 0)
+               / (COALESCE(n_rich, 0) * (COALESCE(n_rich, 0) - 1)), 6)
+       END AS phi_r6
+FROM ks LEFT JOIN nr ON ks.k = nr.k LEFT JOIN er ON ks.k = er.k
 """,
     "pagerank_power_fixed": _pi_sql(5),
     "pagerank_weighted_fixed": _pi_sql(5),
