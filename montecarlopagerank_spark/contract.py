@@ -1966,6 +1966,17 @@ def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining-filter attrition table (pipeline/
+    quality_filters.py::quality_funnel): docs (and char mass) surviving
+    all → gopher → +repetition → +langid-en → +exact-dedup-keeper, as
+    five conditional sums in ONE pass — hash-checked against a twin
+    composing the already-verified gopher/repetition/langid fragments."""
+    from montecarlopagerank_spark.pipeline.quality_filters import quality_funnel
+
+    return quality_funnel(_documents(spark, sf_dir))
+
+
 def q_pagerank_power_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5 exact supersteps (tol=0) — oracle-checked against the unrolled
     SQL twin to round(rank*n, 6)."""
@@ -3491,6 +3502,7 @@ QUERIES = {
     "degree_quantiles": q_degree_quantiles,
     "degree_assortativity": q_degree_assortativity,
     "rich_club": q_rich_club,
+    "quality_funnel": q_quality_funnel,
     "pagerank_power_fixed": q_pagerank_power_fixed,
     "pagerank_weighted_fixed": q_pagerank_weighted_fixed,
     "pagerank_power_top20": q_pagerank_power_top20,
@@ -3698,6 +3710,103 @@ SELECT CAST(ks.k AS BIGINT) AS k,
                / (COALESCE(n_rich, 0) * (COALESCE(n_rich, 0) - 1)), 6)
        END AS phi_r6
 FROM ks LEFT JOIN nr ON ks.k = nr.k LEFT JOIN er ON ks.k = er.k
+""",
+    # funnel: composes the verified gopher/repetition/langid fragments
+    "quality_funnel": rf"""
+WITH base AS (
+  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS nc,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+  FROM documents
+), gm AS (
+  SELECT doc_id,
+    len(tk)::DOUBLE AS n,
+    CASE WHEN len(tk)>0
+         THEN list_sum(list_transform(tk, t -> len(t)))::DOUBLE / len(tk)
+         ELSE 0 END AS mean_len,
+    CASE WHEN len(tk)>0
+         THEN len(list_filter(tk, t -> regexp_matches(t, '[a-z]')))::DOUBLE / len(tk)
+         ELSE 0 END AS alpha_frac,
+    CASE WHEN len(tk)>0
+         THEN len(regexp_extract_all(text, '(#|\.\.\.)'))::DOUBLE / len(tk)
+         ELSE 0 END AS symbol_ratio,
+    len(list_filter(tk, t -> list_contains({STOPWORDS_SQL}, t)))::BIGINT AS n_stop
+  FROM base
+), gq AS (
+  SELECT doc_id,
+    (n >= 30 AND n <= 100000) AND (mean_len >= 3.0 AND mean_len <= 10.0)
+      AND (symbol_ratio <= 0.1) AND (alpha_frac >= 0.8) AND (n_stop >= 2)
+      AS s1
+  FROM gm
+), b2 AS (
+  SELECT doc_id, tk, len(tk) AS n,
+    CASE WHEN len(tk) >= 2
+         THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+         ELSE [] END AS bg
+  FROM base
+), gc AS (
+  SELECT doc_id, g, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(bg) AS g FROM b2) GROUP BY doc_id, g
+), topg AS (SELECT doc_id, MAX(c) AS mx FROM gc GROUP BY doc_id),
+rep AS (
+  SELECT b2.doc_id,
+    ROUND(CASE WHEN n>0 THEN 1.0 - len(list_distinct(tk))::DOUBLE / n
+               ELSE 0 END, 6) AS dtf,
+    ROUND(CASE WHEN len(bg)>0 THEN COALESCE(mx, 0)::DOUBLE / len(bg)
+               ELSE 0 END, 6) AS tbf
+  FROM b2 LEFT JOIN topg ON b2.doc_id = topg.doc_id
+), lc AS (
+  SELECT doc_id,
+         CAST(greatest(length(text), 1) AS DOUBLE) AS n_chars,
+         len(regexp_extract_all(text, '[\x{{4E00}}-\x{{9FFF}}]')) AS cjk,
+         len(regexp_extract_all(text, '[\x{{3040}}-\x{{30FF}}]')) AS kana,
+         len(regexp_extract_all(text, '[\x{{AC00}}-\x{{D7AF}}]')) AS hangul,
+         len(regexp_extract_all(text, '[\x{{0400}}-\x{{04FF}}]')) AS cyr,
+         len(regexp_extract_all(text, '[\x{{00C0}}-\x{{00FF}}\x{{0100}}-\x{{017F}}]')) AS acc
+  FROM documents
+), lng AS (
+  SELECT doc_id,
+       CASE WHEN cjk / n_chars > 0.05 THEN 'zh'
+            WHEN kana / n_chars > 0.05 THEN 'ja'
+            WHEN hangul / n_chars > 0.05 THEN 'ko'
+            WHEN cyr / n_chars > 0.05 THEN 'ru'
+            WHEN acc / n_chars > 0.03 THEN 'latin-acc'
+            ELSE 'en' END AS pred_lang
+  FROM lc
+), j AS (
+  SELECT base.doc_id, base.nc, base.norm, gq.s1,
+         (gq.s1 AND rep.dtf <= 0.3 AND rep.tbf <= 0.2) AS s2,
+         (gq.s1 AND rep.dtf <= 0.3 AND rep.tbf <= 0.2
+          AND lng.pred_lang = 'en') AS s3
+  FROM base JOIN gq USING (doc_id) JOIN rep USING (doc_id)
+            JOIN lng USING (doc_id)
+), keep AS (
+  SELECT norm, MIN(doc_id) AS keep_id FROM j WHERE s3 GROUP BY norm
+), j2 AS (
+  SELECT j.*, (s3 AND doc_id = keep_id) AS s4
+  FROM j LEFT JOIN keep USING (norm)
+), a AS (
+  SELECT COUNT(*) AS c0, SUM(nc) AS m0,
+         SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN s1 THEN nc ELSE 0 END) AS m1,
+         SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS c2,
+         SUM(CASE WHEN s2 THEN nc ELSE 0 END) AS m2,
+         SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS c3,
+         SUM(CASE WHEN s3 THEN nc ELSE 0 END) AS m3,
+         SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS c4,
+         SUM(CASE WHEN s4 THEN nc ELSE 0 END) AS m4
+  FROM j2
+)
+SELECT CAST(0 AS BIGINT) AS stage, 'all' AS name, CAST(c0 AS BIGINT) AS n_docs,
+       CAST(COALESCE(m0, 0) AS BIGINT) AS n_chars FROM a
+UNION ALL SELECT 1, 'gopher', CAST(c1 AS BIGINT),
+       CAST(COALESCE(m1, 0) AS BIGINT) FROM a
+UNION ALL SELECT 2, 'repetition', CAST(c2 AS BIGINT),
+       CAST(COALESCE(m2, 0) AS BIGINT) FROM a
+UNION ALL SELECT 3, 'langid_en', CAST(c3 AS BIGINT),
+       CAST(COALESCE(m3, 0) AS BIGINT) FROM a
+UNION ALL SELECT 4, 'exact_dedup', CAST(c4 AS BIGINT),
+       CAST(COALESCE(m4, 0) AS BIGINT) FROM a
 """,
     "pagerank_power_fixed": _pi_sql(5),
     "pagerank_weighted_fixed": _pi_sql(5),

@@ -164,3 +164,94 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
             ).alias("top_bigram_frac"),
         )
     )
+
+
+# quality_funnel thresholds (repetition stage), on the r6-rounded fracs
+MAX_DUP_TOKEN_FRAC = 0.3
+MAX_TOP_BIGRAM_FRAC = 0.2
+
+
+def quality_funnel(docs: DataFrame) -> DataFrame:
+    """The full pretraining-filter funnel as ONE composition: per stage,
+    how many documents (and how much text) survive the cumulative
+    conjunction —
+
+      0 all → 1 gopher rules → 2 repetition (dup_token ≤ 0.3 AND
+      top_bigram ≤ 0.2, on the r6-rounded fracs) → 3 langid == en →
+      4 exact-dedup keeper (min doc_id per normalized text among the
+      stage-3 survivors)
+
+    — the attrition table every data-curation run reports (Rae et al.
+    2021 table A2's shape). Emits (stage, name, n_docs, n_chars).
+
+    Scale shape: every per-doc signal joins on doc_id (co-partitioned
+    hash joins); the five stage aggregates are CONDITIONAL sums in one
+    map-side-combined pass over the joined table, unpivoted with
+    ``stack`` — no per-stage rescans. The dedup keeper adds one
+    norm-text-keyed min-aggregate over stage-3 survivors only.
+    """
+    from montecarlopagerank_spark.pipeline.textstats import (
+        langid_heuristic,
+        normalized_text,
+    )
+
+    g = gopher_quality_flags(docs).select("doc_id", "passes_gopher")
+    r = repetition_stats(docs).select(
+        "doc_id", "dup_token_frac", "top_bigram_frac"
+    )
+    lang = langid_heuristic(docs)
+    base = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("nc"),
+        normalized_text(F.col("text")).alias("norm"),
+    )
+    j = base.join(g, "doc_id").join(r, "doc_id").join(lang, "doc_id")
+    s1 = F.col("passes_gopher")
+    s2 = (
+        s1
+        & (F.col("dup_token_frac") <= MAX_DUP_TOKEN_FRAC)
+        & (F.col("top_bigram_frac") <= MAX_TOP_BIGRAM_FRAC)
+    )
+    s3 = s2 & (F.col("pred_lang") == "en")
+    j = j.withColumn("_s3", s3)
+    keep = (
+        j.filter(F.col("_s3"))
+        .groupBy("norm")
+        .agg(F.min("doc_id").alias("_keep_id"))
+    )
+    j = j.join(keep.hint("shuffle_hash"), "norm", "left")
+    s4 = F.col("_s3") & (F.col("doc_id") == F.col("_keep_id"))
+
+    def cnt(cond):
+        return F.sum(cond.cast("long"))
+
+    def mass(cond):
+        return F.sum(F.when(cond, F.col("nc")).otherwise(F.lit(0)))
+
+    agg = j.agg(
+        F.count(F.lit(1)).alias("c0"),
+        F.sum("nc").alias("m0"),
+        cnt(s1).alias("c1"),
+        mass(s1).alias("m1"),
+        cnt(s2).alias("c2"),
+        mass(s2).alias("m2"),
+        cnt(F.col("_s3")).alias("c3"),
+        mass(F.col("_s3")).alias("m3"),
+        cnt(s4).alias("c4"),
+        mass(s4).alias("m4"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(5, "
+            "0L, 'all', c0, m0, "
+            "1L, 'gopher', c1, m1, "
+            "2L, 'repetition', c2, m2, "
+            "3L, 'langid_en', c3, m3, "
+            "4L, 'exact_dedup', c4, m4) AS (stage, name, n_docs, n_chars)"
+        )
+    ).select(
+        "stage",
+        "name",
+        F.coalesce("n_docs", F.lit(0)).cast("bigint").alias("n_docs"),
+        F.coalesce("n_chars", F.lit(0)).cast("bigint").alias("n_chars"),
+    )
