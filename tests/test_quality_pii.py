@@ -253,3 +253,34 @@ def test_mis_isolated_and_self_loop_vertices(spark):
     mis, info = luby_mis(spark, df)
     got = {r.v for r in mis.select("v").collect()}
     assert 1 in got and len(got & {2, 3}) == 1
+
+
+def test_quality_funnel_stages_monotone_and_exact(spark):
+    from montecarlopagerank_spark.pipeline.quality_filters import quality_funnel
+
+    # 37 distinct words, 2 stopwords, mean len ≥ 3 → passes every stage
+    good = "the and " + " ".join(f"word{i:02d}" for i in range(35))
+    dupe = good  # exact duplicate of good → dropped at stage 4
+    short = "too short"  # fails gopher
+    # passes gopher (40 words, mean len ≥ 3, 2 stopwords, all-alpha) but
+    # 30× "word" pushes dup_token_frac ≈ 0.72 past the 0.3 ceiling
+    reps = "the brown dog runs over fields and waits here again " + "word " * 30
+    rows = {
+        r.stage: r
+        for r in quality_funnel(
+            spark.createDataFrame(
+                [(0, good), (1, dupe), (2, short), (3, reps)],
+                "doc_id long, text string",
+            )
+        ).collect()
+    }
+    names = {r.stage: r.name for r in rows.values()}
+    assert names == {0: "all", 1: "gopher", 2: "repetition", 3: "langid_en",
+                     4: "exact_dedup"}
+    counts = [rows[s].n_docs for s in range(5)]
+    assert counts[0] == 4
+    assert counts == sorted(counts, reverse=True)  # cumulative conjunction
+    # short fails gopher; reps fails repetition; dupe dies only at dedup
+    assert counts[1] == 3 and counts[2] == 2 and counts[3] == 2 and counts[4] == 1
+    # char mass consistent: stage-0 mass is the total text length
+    assert rows[0].n_chars == sum(len(t) for t in (good, dupe, short, reps))
