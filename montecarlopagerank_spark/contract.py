@@ -1342,6 +1342,68 @@ c{r + 1} AS MATERIALIZED (
     return "".join(parts)
 
 
+def _dbscan_sql(rounds: int = 8, min_pts: int = 2) -> str:
+    """DBSCAN twin (pipeline/clustering.py::dbscan_exact): exact cosine
+    ≥ 0.4 pairs, core = degree ≥ min_pts, clusters via ``rounds``
+    unrolled min-label + pointer-jump CC rounds on the core subgraph
+    (labels converge to the min id — the engine's CC convention),
+    border = min core-neighbour cluster, rest noise."""
+    parts = [
+        f"""
+WITH pr AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]), 6) >= 0.4
+),
+sym AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM pr UNION ALL SELECT b, a FROM pr
+),
+core AS MATERIALIZED (
+  SELECT u AS v FROM (SELECT u, COUNT(*) AS d FROM sym GROUP BY u)
+  WHERE d >= {min_pts}
+),
+cp AS MATERIALIZED (
+  SELECT pr.a, pr.b FROM pr
+  JOIN core ca ON pr.a = ca.v JOIN core cb ON pr.b = cb.v
+),
+csym AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM cp UNION ALL SELECT b, a FROM cp
+),
+l0 AS MATERIALIZED (SELECT v, v AS lbl FROM core)""",
+    ]
+    for r in range(rounds):
+        parts.append(f""",
+a{r} AS MATERIALIZED (
+  SELECT l.v, least(l.lbl, COALESCE(MIN(n.lbl), l.lbl)) AS lbl
+  FROM l{r} l
+  LEFT JOIN csym s ON s.u = l.v
+  LEFT JOIN l{r} n ON n.v = s.v
+  GROUP BY l.v, l.lbl
+),
+l{r + 1} AS MATERIALIZED (
+  SELECT a.v, COALESCE(p.lbl, a.lbl) AS lbl
+  FROM a{r} a LEFT JOIN a{r} p ON p.v = a.lbl
+)""")
+    parts.append(f""",
+clusters AS MATERIALIZED (SELECT v, lbl AS cluster_id FROM l{rounds}),
+border AS MATERIALIZED (
+  SELECT s.u AS v, MIN(cl.cluster_id) AS cluster_id
+  FROM sym s JOIN clusters cl ON s.v = cl.v
+  WHERE s.u NOT IN (SELECT v FROM core)
+  GROUP BY s.u
+)
+SELECT e.vec_id,
+       CASE WHEN c.v IS NOT NULL THEN 'core'
+            WHEN b.v IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       CAST(COALESCE(c.cluster_id, b.cluster_id) AS BIGINT) AS cluster_id
+FROM embeddings e
+LEFT JOIN clusters c ON e.vec_id = c.v
+LEFT JOIN border b ON e.vec_id = b.v""")
+    return "".join(parts)
+
+
 def _kmeans_sql_ctes(k: int, iters: int, dim: int) -> str:
     """Shared CTE chain for the k-means / IVF twins: deterministic
     farthest-point (maxmin) seeding unrolled seed-by-seed, then
@@ -2769,6 +2831,19 @@ def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DBSCAN over the exact cosine ≥ 0.4 similarity
+    graph (pipeline/clustering.py::dbscan_exact, min_pts=2): core ⇔
+    ≥2 neighbours, clusters = CC of the core-core subgraph (min-id
+    labels), border → min core-neighbour cluster, rest noise. Full
+    (vec_id, role, cluster_id) assignment hash-checked against the
+    pair-SQL + unrolled min-label/pointer-jump twin."""
+    from montecarlopagerank_spark.pipeline.clustering import dbscan_exact
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return dbscan_exact(spark, emb, sim_threshold=0.4, min_pts=2)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode (rows-only: numpy features have no SQL twin).
     ALL THREE modalities decode for real: blobs are valid BMP/PNG (still
@@ -3555,6 +3630,7 @@ QUERIES = {
     "embedding_topk": q_embedding_topk,
     "embedding_topk_lsh": q_embedding_topk_lsh,
     "embedding_near_dup_exact": q_embedding_near_dup_exact,
+    "dbscan_embeddings": q_dbscan_embeddings,
     "media_features": q_media_features,
     "sessionize_events": q_sessionize_events,
     "asof_last_signup": q_asof_last_signup,
@@ -3895,6 +3971,7 @@ FROM verts LEFT JOIN od USING (v) LEFT JOIN idg USING (v)
     "densest_subgraph": _densest_sql(24),
     "temporal_reachability": _temporal_reach_sql(8),
     "wl_refinement": _wl_sql(3),
+    "dbscan_embeddings": _dbscan_sql(8, 2),
     "label_propagation_fixed2": _lpa_sql(2),
     "label_propagation_sizes": _lpa_sql(10),
     "triangle_count": f"""

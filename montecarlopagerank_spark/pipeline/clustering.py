@@ -219,3 +219,98 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", F.col("cand_id").alias("match_id"), "cos_r6")
     )
+
+
+def dbscan_exact(
+    spark: SparkSession,
+    emb: DataFrame,
+    sim_threshold: float = 0.4,
+    min_pts: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Deterministic DBSCAN over the cosine-similarity graph (Ester et
+    al., KDD 1996): a vector is **core** iff it has ≥ ``min_pts``
+    neighbours at rounded cosine ≥ ``sim_threshold`` (self excluded);
+    clusters are the connected components of the core-core subgraph
+    (label = min vec_id — the engine's CC convention); a non-core
+    vector with ≥ 1 core neighbour is a **border** point assigned to
+    the MIN cluster label among its core neighbours (classic DBSCAN's
+    border assignment is scan-order-dependent — the min rule makes it
+    a pure function of the graph); everything else is **noise**.
+    Emits ``(vec_id, role, cluster_id)`` with cluster_id null for noise.
+
+    ``pairs`` defaults to the exact brute-force O(n²) pair join (the
+    oracle/test path, hash-checked in contract.py); pass
+    ``similarity.embedding_near_dupes`` output for the LSH-bucketed
+    at-scale path — everything downstream of the pair set is
+    shuffle-bounded by the (sparse) similarity graph, so the scale
+    story is the pair detector's, exactly as in dedup.cluster_keep.
+    """
+    from montecarlopagerank_spark.algos.components import connected_components
+    from montecarlopagerank_spark.pipeline.similarity import (
+        _dot,
+        with_unit_vectors,
+    )
+
+    if pairs is None:
+        u = with_unit_vectors(emb, vec_col).select(id_col, "_unit")
+        a = u.select(F.col(id_col).alias("a"), F.col("_unit").alias("va"))
+        b = u.select(F.col(id_col).alias("b"), F.col("_unit").alias("vb"))
+        pairs = (
+            a.join(b, F.col("a") < F.col("b"))
+            .select(
+                "a", "b", F.round(_dot(F.col("va"), F.col("vb")), 6).alias("cos_sim")
+            )
+            .filter(F.col("cos_sim") >= sim_threshold)
+        )
+    p = pairs.select("a", "b")
+    sym = p.unionByName(
+        p.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy(F.col("a").alias("v")).agg(F.count(F.lit(1)).alias("d"))
+    core = deg.filter(F.col("d") >= min_pts).select("v")
+    core_pairs = p.join(
+        core.withColumnRenamed("v", "a").hint("shuffle_hash"), "a", "left_semi"
+    ).join(core.withColumnRenamed("v", "b").hint("shuffle_hash"), "b", "left_semi")
+    cc = connected_components(
+        spark, core_pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    clusters = (
+        core.join(cc.withColumnRenamed("v", "v"), "v", "left")
+        .select("v", F.coalesce("component", "v").alias("cluster_id"))
+    )
+    # border: non-core with a core neighbour → min core-neighbour cluster
+    border = (
+        sym.join(
+            clusters.withColumnRenamed("v", "b")
+            .withColumnRenamed("cluster_id", "cl")
+            .hint("shuffle_hash"),
+            "b",
+        )
+        .join(core.withColumnRenamed("v", "a").hint("shuffle_hash"), "a", "left_anti")
+        .groupBy(F.col("a").alias("v"))
+        .agg(F.min("cl").alias("cluster_id"))
+    )
+    universe = emb.select(F.col(id_col).alias("v"))
+    out = (
+        universe.join(
+            clusters.withColumn("role", F.lit("core")).hint("shuffle_hash"),
+            "v",
+            "left",
+        )
+        .join(
+            border.withColumnRenamed("cluster_id", "b_cl")
+            .withColumn("b_role", F.lit("border"))
+            .hint("shuffle_hash"),
+            "v",
+            "left",
+        )
+        .select(
+            F.col("v").alias(id_col),
+            F.coalesce("role", "b_role", F.lit("noise")).alias("role"),
+            F.coalesce("cluster_id", "b_cl").alias("cluster_id"),
+        )
+    )
+    return out

@@ -112,3 +112,84 @@ def test_ivf_good_recall_on_clustered_data(spark, emb):
     ivs = {(r["query_id"], r["match_id"]) for r in ivf.collect()}
     bfs = {(r["query_id"], r["neighbour_id"]) for r in bf.collect()}
     assert len(ivs & bfs) / len(bfs) >= 0.95
+
+
+def dbscan_naive(vecs, thr, min_pts):
+    """Python twin of dbscan_exact on {id: np.array} (rounded cosine)."""
+    ids = sorted(vecs)
+    nbrs = {i: set() for i in ids}
+    for x in ids:
+        for y in ids:
+            if x < y:
+                c = float(vecs[x] @ vecs[y]) / float(
+                    np.linalg.norm(vecs[x]) * np.linalg.norm(vecs[y])
+                )
+                if round(c, 6) >= thr:
+                    nbrs[x].add(y)
+                    nbrs[y].add(x)
+    core = {i for i in ids if len(nbrs[i]) >= min_pts}
+    # CC over core-core edges, label = min id
+    lbl = {i: i for i in core}
+    changed = True
+    while changed:
+        changed = False
+        for x in core:
+            for y in nbrs[x] & core:
+                m = min(lbl[x], lbl[y])
+                if lbl[x] != m or lbl[y] != m:
+                    lbl[x] = lbl[y] = m
+                    changed = True
+    out = {}
+    for i in ids:
+        if i in core:
+            out[i] = ("core", lbl[i])
+        else:
+            cl = [lbl[n] for n in nbrs[i] if n in core]
+            out[i] = ("border", min(cl)) if cl else ("noise", None)
+    return out
+
+
+def test_dbscan_recovers_blobs_and_matches_twin(spark, emb):
+    from montecarlopagerank_spark.pipeline.clustering import dbscan_exact
+
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    got = {
+        r.vec_id: (r.role, r.cluster_id)
+        for r in dbscan_exact(
+            spark, emb, sim_threshold=0.8, min_pts=3
+        ).collect()
+    }
+    want = dbscan_naive(vecs, 0.8, 3)
+    assert got == want
+    # well-separated blobs: every point is core, clusters = the 5 labels
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    by_cluster: dict = {}
+    for v, (role, cl) in got.items():
+        if cl is not None:
+            by_cluster.setdefault(cl, set()).add(labels[v])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    assert len(by_cluster) == K
+
+
+def test_dbscan_noise_and_border(spark):
+    from montecarlopagerank_spark.pipeline.clustering import dbscan_exact
+
+    # 3 mutually-close vectors (core at min_pts=2), one vector close to
+    # only ONE of them (border), one orthogonal (noise)
+    base = np.eye(4)
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.14, 0.0, 0.0]),
+        (2, [0.99, -0.14, 0.0, 0.0]),
+        (3, [0.55, 0.83, 0.0, 0.0]),   # close to 1 only (cos ≈ 0.66 vs thr 0.9 for 0/2)
+        (4, [0.0, 0.0, 1.0, 0.0]),     # orthogonal: noise
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r.vec_id: (r.role, r.cluster_id)
+        for r in dbscan_exact(spark, df, sim_threshold=0.9, min_pts=2).collect()
+    }
+    vecs = {i: np.array(v, dtype=np.float64) for i, v in rows}
+    assert got == dbscan_naive(vecs, 0.9, 2)
+    assert got[4] == ("noise", None)
