@@ -3164,6 +3164,25 @@ def q_null_model_rewire(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rewire_configuration(e)
 
 
+# up-sampling weights: src{i} gets 2.5× / 1× / 0.4× by i % 3 — mirrored
+# literally in the SQL twin's CASE (whole copies + fractional threshold)
+UP_WEIGHTS = {f"src{i}": [2.5, 1.0, 0.4][i % 3] for i in range(20)}
+
+
+def q_upsample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source up-sampling by repetition
+    (pipeline/sampling.py::upsample_repeat): weight 2.5 emits 2 copies
+    plus a hash-selected third, 0.4 keeps hash-selected single copies —
+    full (doc_id, source, copy_idx) emission hash-checked against the
+    UNNEST(range(copies)) twin."""
+    from montecarlopagerank_spark.pipeline.sampling import upsample_repeat
+
+    return upsample_repeat(
+        _documents(spark, sf_dir), source_col="source", key_col="doc_id",
+        weights=UP_WEIGHTS,
+    ).select("doc_id", "source", "copy_idx")
+
+
 def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view→click→purchase over events: per-step user
     counts under greedy earliest in-order matching (pipeline/funnel.py,
@@ -3644,6 +3663,7 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
     "stratified_sample_docs": q_stratified_sample_docs,
+    "upsample_docs": q_upsample_docs,
     "null_model_rewire": q_null_model_rewire,
     "k_truss_3": q_k_truss_3,
     "kahn_layers": q_kahn_layers,
@@ -4474,6 +4494,21 @@ rs AS (SELECT src, ROW_NUMBER() OVER (ORDER BY hs, src, dst) - 1 AS pos FROM s),
 rd AS (SELECT dst, ROW_NUMBER() OVER (ORDER BY hd, src, dst) - 1 AS pos FROM s)
 SELECT CAST(rs.pos AS BIGINT) AS pos, rs.src AS src, rd.dst AS dst
 FROM rs JOIN rd USING(pos)
+""",
+    "upsample_docs": f"""
+WITH d AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5('up:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+           AS b
+  FROM documents
+), c AS (
+  SELECT doc_id, source,
+         (CASE source {" ".join(f"WHEN '{s}' THEN {int(w)}" for s, w in sorted(UP_WEIGHTS.items()))} ELSE 1 END)
+         + CASE WHEN b < (CASE source {" ".join(f"WHEN '{s}' THEN {int((w - int(w)) * (1 << 32))}" for s, w in sorted(UP_WEIGHTS.items()))} ELSE 0 END)
+                THEN 1 ELSE 0 END AS copies
+  FROM d
+)
+SELECT doc_id, source, CAST(UNNEST(range(copies)) AS BIGINT) AS copy_idx FROM c
 """,
     # greedy in-order funnel: t1 = min step-1 ts, t_i = min step-i ts >= t_{i-1}
     "funnel_view_click_purchase": """

@@ -368,3 +368,52 @@ def stratified_sample(
         .filter(F.col("pos") < F.col("_k"))
         .drop("_h", "pos", "_k")
     )
+
+
+def upsample_repeat(
+    df: DataFrame,
+    *,
+    source_col: str,
+    key_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    salt: str = "up:",
+) -> DataFrame:
+    """Deterministic per-source UP-sampling by repetition — the other
+    half of the data-mixture step (``mixture_sample`` handles w ≤ 1):
+    a row with source weight w is emitted ``⌊w⌋`` times plus one more
+    iff its md5 bucket falls under ``frac(w)`` — so expected multiplicity
+    is exactly w, the realized multiplicity is a pure function of the
+    key (reruns/engines/cluster sizes agree row-for-row), and w ≤ 1
+    degenerates to ``mixture_sample``'s keep-filter with one copy.
+    Emits the input columns plus ``copy_idx`` (0-based).
+
+    Scale shape: a scan-stage ``explode`` of a per-row integer sequence
+    — no shuffle, no join; output size is Σ w(source)·n(source), the
+    mixture's intended epoch size."""
+    for s, w in weights.items():
+        if w < 0:
+            raise ValueError(f"weight for {s!r} must be ≥ 0, got {w}")
+    if default_weight < 0:
+        raise ValueError(f"default_weight must be ≥ 0, got {default_weight}")
+    b = hash_bucket(F.col(key_col), salt)
+
+    def parts(w: float) -> tuple[int, int]:
+        whole = int(w)
+        return whole, int((w - whole) * BUCKETS)
+
+    d_whole, d_thr = parts(default_weight)
+    whole = F.lit(d_whole)
+    thr = F.lit(d_thr)
+    for src in sorted(weights):
+        sw, st = parts(weights[src])
+        whole = F.when(F.col(source_col) == src, F.lit(sw)).otherwise(whole)
+        thr = F.when(F.col(source_col) == src, F.lit(st)).otherwise(thr)
+    copies = whole + (b < thr).cast("int")
+    seq = F.when(
+        copies > 0, F.sequence(F.lit(0), copies - F.lit(1))
+    ).otherwise(F.array().cast("array<int>"))
+    # explode must be the top-level expression; the long cast follows
+    return df.withColumn("copy_idx", F.explode(seq)).withColumn(
+        "copy_idx", F.col("copy_idx").cast("long")
+    )

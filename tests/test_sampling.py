@@ -329,3 +329,59 @@ def test_rewire_preserves_degrees_and_matches_twin(spark):
     assert Counter(r.src for r in out) == Counter(s for s, _ in pairs)
     assert Counter(r.dst for r in out) == Counter(d for _, d in pairs)
     assert {r.pos: (r.src, r.dst) for r in out} == rewire_naive(pairs)
+
+
+def upsample_naive(rows, weights, default=1.0):
+    import hashlib
+
+    out = {}
+    for key, s in rows:
+        w = weights.get(s, default)
+        whole = int(w)
+        thr = int((w - whole) * (1 << 32))
+        b = int(hashlib.md5(f"up:{key}".encode()).hexdigest()[:8], 16)
+        copies = whole + (1 if b < thr else 0)
+        if copies:
+            out[(key, s)] = copies
+    return out
+
+
+def test_upsample_repeat_multiplicities_and_twin(spark):
+    from collections import Counter
+
+    from montecarlopagerank_spark.pipeline.sampling import upsample_repeat
+
+    rows = [(i, f"s{i % 3}") for i in range(300)]
+    weights = {"s0": 2.5, "s1": 1.0, "s2": 0.4}
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = upsample_repeat(
+        df, source_col="source", key_col="doc_id", weights=weights
+    ).collect()
+    got = Counter((r.doc_id, r.source) for r in out)
+    assert dict(got) == upsample_naive(rows, weights)
+    # copy_idx is 0..copies-1 per row
+    by_key: dict = {}
+    for r in out:
+        by_key.setdefault((r.doc_id, r.source), set()).add(r.copy_idx)
+    assert all(s == set(range(len(s))) for s in by_key.values())
+    # expected multiplicities: s0 rows ≥ 2 copies, s1 exactly 1, s2 ∈ {0, 1}
+    for (i, s), c in got.items():
+        if s == "s0":
+            assert c in (2, 3)
+        elif s == "s1":
+            assert c == 1
+        else:
+            assert c == 1
+    # weight-0.4 stratum drops ~60% of its rows entirely
+    kept_s2 = sum(1 for (_, s) in got if s == "s2")
+    assert 20 <= kept_s2 <= 60
+
+
+def test_upsample_validates_weights(spark):
+    from montecarlopagerank_spark.pipeline.sampling import upsample_repeat
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError):
+        upsample_repeat(
+            df, source_col="source", key_col="doc_id", weights={"a": -0.5}
+        )
