@@ -347,6 +347,26 @@ def main() -> None:
         extra["kahn_unresolved"] = kinfo["n_unresolved"]
     extra["kahn_rounds"] = kinfo["rounds"]
 
+    with timed("wl_colors_3"):
+        from montecarlopagerank_spark.algos.wl import wl_colors
+
+        _wl, wli = wl_colors(spark, edges, rounds=3)
+        extra["wl_n_colors"] = wli["n_colors"]
+
+    with timed("temporal_reach_8"):
+        from montecarlopagerank_spark.algos.temporal_reach import earliest_arrival
+        from montecarlopagerank_spark.operators.edges import (
+            timestamped_string_edges,
+        )
+
+        te = timestamped_string_edges(ts)
+        srcs = ts.filter(F.col("turn_idx") == 0).select(
+            F.concat(F.lit("turn#"), F.col("conv_id"), F.lit("#0")).alias("v"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t0"),
+        )
+        _tr, tri = earliest_arrival(spark, te, srcs, max_hops=8)
+        extra["treach_reached"] = tri["n_reached"]
+
     with timed("densest_subgraph"):
         from montecarlopagerank_spark.algos.densest import densest_subgraph
 
