@@ -3043,6 +3043,19 @@ def q_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("v", F.col("ea").alias("ea_us"))
 
 
+def q_temporal_relays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-respecting 2-path (relay) counts within a 10-minute horizon
+    per vertex (algos/temporal_reach.py::relay_counts) — the elementary
+    temporal motif, via the explosion-free bucketed range join (never a
+    hub-quadratic v-keyed self-join). Hash-checked against DuckDB's
+    plain inequality-join twin."""
+    from montecarlopagerank_spark.algos.temporal_reach import relay_counts
+    from montecarlopagerank_spark.operators.edges import timestamped_string_edges
+
+    te = timestamped_string_edges(transcripts_from_events(spark, sf_dir))
+    return relay_counts(te, horizon_us=600_000_000)
+
+
 def q_wl_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-WL structural colors after 3 refinement rounds on the
     string-keyed transcript digraph (algos/wl.py) — the MPNN-
@@ -3671,6 +3684,7 @@ QUERIES = {
     "densest_subgraph": q_densest_subgraph,
     "temporal_reachability": q_temporal_reachability,
     "wl_refinement": q_wl_refinement,
+    "temporal_relays": q_temporal_relays,
     "funnel_view_click_purchase": q_funnel_view_click_purchase,
     "retention_weekly": q_retention_weekly,
     "event_transitions": q_event_transitions,
@@ -3991,6 +4005,31 @@ FROM verts LEFT JOIN od USING (v) LEFT JOIN idg USING (v)
     "densest_subgraph": _densest_sql(24),
     "temporal_reachability": _temporal_reach_sql(8),
     "wl_refinement": _wl_sql(3),
+    "temporal_relays": ("WITH " + SQL_TURNS[1:]) + """,
+tch AS MATERIALIZED (
+  SELECT conv_id, turn_idx, role, tool, epoch_us(ts) AS t,
+         LAG(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_turn,
+         LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+  FROM turns
+),
+te AS MATERIALIZED (
+  SELECT 'turn#' || conv_id || '#' || CAST(prev_turn AS VARCHAR) AS src,
+         'turn#' || conv_id || '#' || CAST(turn_idx AS VARCHAR) AS dst, t
+  FROM tch WHERE prev_turn IS NOT NULL
+  UNION ALL
+  SELECT 'role#' || prev_role, 'role#' || role, t
+  FROM tch WHERE prev_role IS NOT NULL
+  UNION ALL
+  SELECT 'turn#' || conv_id || '#' || CAST(turn_idx AS VARCHAR),
+         'tool#' || tool, t
+  FROM tch WHERE tool IS NOT NULL
+)
+SELECT i.v, CAST(COUNT(*) AS BIGINT) AS n_relays
+FROM (SELECT dst AS v, t AS t1 FROM te) i
+JOIN (SELECT src AS v, t AS t2 FROM te) o
+  ON i.v = o.v AND o.t2 >= i.t1 AND o.t2 - i.t1 <= 600000000
+GROUP BY i.v
+""",
     "dbscan_embeddings": _dbscan_sql(8, 2),
     "label_propagation_fixed2": _lpa_sql(2),
     "label_propagation_sizes": _lpa_sql(10),

@@ -77,3 +77,40 @@ def test_early_stop_before_cap(spark):
     got, info = run(spark, tedges, [("a", 0)], max_hops=50)
     assert got == {"a": 0, "b": 1, "c": 2}
     assert info["converged"] and info["rounds"] <= 4
+
+
+def relay_naive(tedges, h):
+    out: dict = {}
+    for _, v, t1 in tedges:
+        for u, _, t2 in tedges:
+            if u == v and t1 <= t2 <= t1 + h:
+                out[v] = out.get(v, 0) + 1
+    return out
+
+
+def test_relay_counts_vs_naive(spark):
+    rng = random.Random(83)
+    tedges = [
+        (f"v{rng.randint(0, 8)}", f"v{rng.randint(0, 8)}", rng.randint(0, 500))
+        for _ in range(120)
+    ]
+    from montecarlopagerank_spark.algos.temporal_reach import relay_counts
+
+    te = spark.createDataFrame(tedges, "src string, dst string, t long")
+    got = {r.v: r.n_relays for r in relay_counts(te, horizon_us=50).collect()}
+    assert got == relay_naive(tedges, 50)
+
+
+def test_relay_horizon_boundary_inclusive(spark):
+    from montecarlopagerank_spark.algos.temporal_reach import relay_counts
+
+    # in at t=100; outs at t=99 (before: no), 100 (equal: yes),
+    # 150 (inside: yes), 200 (== t1+H: yes), 201 (past: no)
+    te = spark.createDataFrame(
+        [("a", "m", 100), ("m", "x", 99), ("m", "x", 100), ("m", "x", 150),
+         ("m", "x", 200), ("m", "x", 201)],
+        "src string, dst string, t long",
+    )
+    got = {r.v: r.n_relays for r in relay_counts(te, horizon_us=100).collect()}
+    assert got == {"m": 3, "x": 0} or got == {"m": 3}
+    assert got.get("m") == 3
