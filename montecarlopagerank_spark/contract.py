@@ -2846,8 +2846,9 @@ def q_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode (rows-only: numpy features have no SQL twin).
-    ALL THREE modalities decode for real: blobs are valid BMP/PNG (still
-    images), WAV PCM16 (audio), and uncompressed-DIB AVI (video) files,
+    ALL THREE modalities decode for real: blobs are valid BMP/PNG/JPEG
+    (still images — JPEG via the from-scratch baseline T.81 codec in
+    pipeline/jpeg.py), WAV PCM16 (audio), and uncompressed-DIB AVI files,
     parsed to pixel/sample/frame arrays → content features by pure
     stdlib codecs (pipeline/multimodal.py::real_decode; PNG inflates via
     zlib, AVI walks the RIFF tree). Undecodable blobs fall back to the

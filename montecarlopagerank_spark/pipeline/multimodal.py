@@ -1,14 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-Formats with pure-stdlib codecs — **BMP (24-bpp), PNG (8-bit truecolor,
-inflated via stdlib zlib, all five scanline filters), WAV (PCM16), and
-AVI (RIFF container, uncompressed 24-bpp DIB frames)** — are REALLY
-decoded (``real_decode``: parse → pixel/sample/frame arrays → content
-features; ``sample_frames_real``: per-frame image features; encoders
-included for fixtures), so all three modalities (image/audio/video) have
-a real decode path. Formats that need external decode libraries
-(JPEG/MP4 — PIL/librosa are not in this container) stay stubbed:
+Formats with pure-python codecs — **BMP (24-bpp), PNG (8-bit truecolor,
+inflated via stdlib zlib, all five scanline filters), JPEG (baseline
+sequential DCT, 4:4:4 — a from-scratch numpy implementation of ITU-T
+T.81, pipeline/jpeg.py), WAV (PCM16), and AVI (RIFF container,
+uncompressed 24-bpp DIB frames)** — are REALLY decoded (``real_decode``:
+parse → pixel/sample/frame arrays → content features;
+``sample_frames_real``: per-frame image features; encoders included for
+fixtures), so all three modalities (image/audio/video) have a real
+decode path, including the lossy-compressed image case. Formats that
+still need external decode libraries (MP4/H.264; progressive or
+subsampled JPEG) stay stubbed:
 ``decode_stub`` raises, ``fake_decode`` produces deterministic
 hash-derived features with the real batch shape. Every
 piece of Spark-side plumbing is real and tested either way: the schema,
@@ -371,6 +374,12 @@ def _image_feature(px: np.ndarray) -> np.ndarray:
     ).astype(np.float32)
 
 
+def _jpeg_feature(content: bytes) -> np.ndarray:
+    from montecarlopagerank_spark.pipeline.jpeg import decode_jpeg
+
+    return _image_feature(decode_jpeg(content))
+
+
 def _wav_feature(content: bytes) -> np.ndarray:
     """Real audio feature (FEATURE_DIM): [log1p(sr), log1p(n), rms, peak,
     zero-crossing rate, 11 log-spectral band energies (rfft of the first
@@ -429,6 +438,8 @@ def sniff_kind(content: bytes) -> str | None:
         return "bmp"
     if content[:8] == PNG_SIG:
         return "png"
+    if content[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return "wav"
     if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
@@ -460,6 +471,8 @@ def real_decode(media: DataFrame, fallback: bool = True) -> DataFrame:
                     feats.append(_bmp_feature(c))
                 elif k == "png":
                     feats.append(_png_feature(c))
+                elif k == "jpeg":
+                    feats.append(_jpeg_feature(c))
                 elif k == "wav":
                     feats.append(_wav_feature(c))
                 elif k == "avi":
@@ -493,7 +506,7 @@ def synthetic_real_media(
     spark: SparkSession, n: int = 32, seed: int = 42, parts: int = 4
 ) -> DataFrame:
     """Deterministic media table whose image/audio/video blobs are ALL
-    valid decodable files (BMP/PNG alternating, WAV, uncompressed-DIB
+    valid decodable files (BMP/PNG/JPEG rotating, WAV, uncompressed-DIB
     AVI), so ``real_decode`` and ``sample_frames_real`` exercise every
     real codec end-to-end."""
 
@@ -506,10 +519,17 @@ def synthetic_real_media(
                 if kind == "image":
                     w, h = int(rng.integers(4, 48)), int(rng.integers(4, 48))
                     px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-                    if int(mid) % 2 == 0:  # alternate the two real codecs
+                    sel = int(mid) // 3 % 3  # rotate the three real codecs
+                    if sel == 0:
                         content, mime = encode_bmp(px), "image/bmp"
-                    else:
+                    elif sel == 1:
                         content, mime = encode_png(px), "image/png"
+                    else:
+                        from montecarlopagerank_spark.pipeline.jpeg import (
+                            encode_jpeg,
+                        )
+
+                        content, mime = encode_jpeg(px, 90), "image/jpeg"
                     meta = (w, h, None, None, mime)
                 elif kind == "audio":
                     sr = 8000

@@ -400,8 +400,8 @@ def test_real_decode_known_features():
 
 def test_real_decode_spark_path(spark):
     """real_decode over the synthetic real-media table: every kind gets a
-    real decoder (BMP/PNG alternating for stills, WAV for audio, DIB-AVI
-    for video); deterministic across partitioning."""
+    real decoder (BMP/PNG/JPEG rotating for stills, WAV for audio,
+    DIB-AVI for video); deterministic across partitioning."""
     from montecarlopagerank_spark.pipeline.multimodal import (
         real_decode,
         synthetic_media,
@@ -414,7 +414,7 @@ def test_real_decode_spark_path(spark):
     for r in rows:
         by_kind.setdefault(r["kind"], set()).add(r["decoder"])
     assert by_kind == {
-        "image": {"bmp", "png"},  # fixtures alternate the two real codecs
+        "image": {"bmp", "png", "jpeg"},  # fixtures rotate the real codecs
         "audio": {"wav"},
         "video": {"avi"},
     }
@@ -609,3 +609,60 @@ def test_readability_closed_form(spark):
         round(0.39 * 3 + 11.8 * (7 / 6) - 15.59, 4), abs=1e-9)
     # vowel-less word still counts 1 syllable; no sentence mark -> 1
     assert (got[2]["n_words"], got[2]["n_sentences"], got[2]["n_syllables"]) == (1, 1, 1)
+
+
+def test_jpeg_codec_roundtrip_and_structure():
+    """The from-scratch baseline JPEG codec (pipeline/jpeg.py): PSNR
+    floors on smooth/noise content, marker structure, greyscale and
+    non-multiple-of-8 dimensions, and loud rejection of unsupported
+    processes."""
+    import numpy as np
+
+    from montecarlopagerank_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    x, y = np.meshgrid(np.arange(48), np.arange(40))
+    img = np.stack(
+        [
+            (x * 3 + y) % 256,
+            128 + 80 * np.sin(x / 6.0) * np.cos(y / 5.0),
+            np.clip(255 - x * 2 - y, 0, 255),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    data = encode_jpeg(img, quality=90)
+    assert data[:3] == b"\xff\xd8\xff" and data[-2:] == b"\xff\xd9"
+    out = decode_jpeg(data)
+    assert out.shape == img.shape
+    mse = float(np.mean((out.astype(float) - img.astype(float)) ** 2))
+    assert 10 * np.log10(255**2 / mse) > 40  # smooth content, q90
+
+    # higher quality ⇒ monotonically no-worse reconstruction
+    worse = decode_jpeg(encode_jpeg(img, quality=40))
+    mse40 = float(np.mean((worse.astype(float) - img.astype(float)) ** 2))
+    assert mse40 >= mse
+
+    # greyscale + dims not divisible by 8 (edge-replicated padding)
+    g = (x * 5 % 256).astype(np.uint8)[:37, :43]
+    og = decode_jpeg(encode_jpeg(g, quality=85))
+    assert og.shape == (37, 43, 3)
+    assert np.array_equal(og[..., 0], og[..., 1])  # grey replicated
+    gm = float(np.mean((og[..., 0].astype(float) - g.astype(float)) ** 2))
+    assert 10 * np.log10(255**2 / gm) > 35
+
+    # pure noise still round-trips reasonably at q90
+    rng = np.random.RandomState(5)
+    n = rng.randint(0, 256, (32, 32, 3), dtype=np.uint8)
+    dn = decode_jpeg(encode_jpeg(n, quality=90))
+    nm = float(np.mean((dn.astype(float) - n.astype(float)) ** 2))
+    assert 10 * np.log10(255**2 / nm) > 25
+
+    # unsupported processes are rejected loudly, not mis-decoded
+    import pytest as _pytest
+
+    bad = bytearray(encode_jpeg(g, quality=85))
+    i = bytes(bad).find(b"\xff\xc0")
+    bad[i + 1] = 0xC2  # masquerade as progressive SOF2
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(bad))
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg at all")
