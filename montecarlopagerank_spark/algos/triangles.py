@@ -88,6 +88,44 @@ def triangles_per_vertex(spark: SparkSession, edges: DataFrame) -> DataFrame:
     return per_v
 
 
+def four_clique_count(spark: SparkSession, edges: DataFrame) -> int:
+    """Total 4-clique (K₄) count of the undirected closure — the next
+    motif up from triangles (graph "cliquishness" beyond pairwise
+    closure; Chiba-Nishizeki 1985 arboricity bound governs the cost).
+
+    Counting discipline: with the same total order π = (degree, vid)
+    that orients edges, each K₄ is counted EXACTLY once as (its three
+    π-smallest vertices' oriented triangle) + (its π-max vertex d
+    reached by three oriented edges) — apex is forced to the π-min of
+    the triangle by the wedge join, d is forced to the π-max of the
+    clique because all three closing edges must point AT it.
+
+    Scale shape: inherits the orientation's O(√m) out-degree bound —
+    the d-extension joins fan out each oriented triangle over the
+    apex's oriented adjacency, then two semi-like equi-joins prune to
+    common neighbours; nothing ever squares a raw hub degree.
+    """
+    o = _oriented(edges).persist()
+    a = o.select(F.col("lo").alias("apex"), F.col("hi").alias("b"))
+    b2 = o.select(F.col("lo").alias("apex"), F.col("hi").alias("c"))
+    wedges = a.join(b2, "apex").filter(F.col("b") < F.col("c"))
+    closing = o.select(F.col("lo").alias("b"), F.col("hi").alias("c")).unionByName(
+        o.select(F.col("hi").alias("b"), F.col("lo").alias("c"))
+    )
+    tri = wedges.join(closing, ["b", "c"], "left_semi")
+    e1 = o.select(F.col("lo").alias("apex"), F.col("hi").alias("d"))
+    e2 = o.select(F.col("lo").alias("b"), F.col("hi").alias("d"))
+    e3 = o.select(F.col("lo").alias("c"), F.col("hi").alias("d"))
+    n = (
+        tri.join(e1, "apex")
+        .join(e2, ["b", "d"], "left_semi")
+        .join(e3, ["c", "d"], "left_semi")
+        .count()
+    )
+    o.unpersist()
+    return n
+
+
 def clustering_coefficient(spark: SparkSession, edges: DataFrame) -> DataFrame:
     """Per-vertex local clustering coefficient on the undirected closure:
     ``cc(v) = 2·T(v) / (d(v)·(d(v)−1))`` with ``T(v)`` the triangles through

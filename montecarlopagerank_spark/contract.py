@@ -2280,6 +2280,18 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_four_clique_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total K₄ count of the undirected closure (algos/triangles.py::
+    four_clique_count — π-ordered oriented-triangle extension, each
+    clique counted once at its π-max vertex) — SQL twin is the
+    vid-ordered a<b<c<d six-edge join."""
+    from montecarlopagerank_spark.algos.triangles import four_clique_count
+
+    e = _string_edges(spark, sf_dir).select("src", "dst")
+    n = four_clique_count(spark, e)
+    return spark.createDataFrame([(n,)], "n_4cliques long")
+
+
 def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex local clustering coefficient (undirected closure) —
     SQL twin re-derives per-vertex triangle counts from the x<y<z
@@ -3623,6 +3635,7 @@ QUERIES = {
     "label_propagation_sizes": q_label_propagation_sizes,
     "label_propagation_fixed2": q_label_propagation_fixed2,
     "triangle_count": q_triangle_count,
+    "four_clique_count": q_four_clique_count,
     "clustering_coefficient": q_clustering_coefficient,
     "link_prediction_top50": q_link_prediction_top50,
     "adamic_adar_top50": q_adamic_adar_top50,
@@ -4042,6 +4055,20 @@ und AS (
 )
 SELECT COUNT(*) AS triangles
 FROM und a JOIN und b ON a.y = b.x JOIN und c ON a.x = c.x AND b.y = c.y
+""",
+    "four_clique_count": f"""
+WITH {SQL_TEDGES[1:]},
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS x, GREATEST(src, dst) AS y
+  FROM tedges WHERE src <> dst
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_4cliques
+FROM und ab
+JOIN und ac ON ac.x = ab.x AND ac.y > ab.y
+JOIN und bc ON bc.x = ab.y AND bc.y = ac.y
+JOIN und ad ON ad.x = ab.x AND ad.y > ac.y
+JOIN und bd ON bd.x = ab.y AND bd.y = ad.y
+JOIN und cd ON cd.x = ac.y AND cd.y = ad.y
 """,
     "clustering_coefficient": f"""
 WITH {SQL_TEDGES[1:]},

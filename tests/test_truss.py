@@ -83,3 +83,35 @@ def test_truss_sf001_depth_within_oracle_unroll(spark):
     se = _string_edges(spark, "/root/testdata/sf0.001")
     _, info = k_truss(spark, se, k=3)
     assert info["converged"] and info["rounds"] <= 8
+
+
+def test_four_clique_count_vs_bruteforce(spark):
+    import itertools
+    import random
+
+    from montecarlopagerank_spark.algos.triangles import four_clique_count
+    from tests.conftest import edges_df
+
+    rng = random.Random(89)
+    pairs = list({(rng.randint(0, 14), rng.randint(0, 14)) for _ in range(70)})
+    und = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    verts = sorted({v for e in und for v in e})
+    want = sum(
+        1
+        for q in itertools.combinations(verts, 4)
+        if all((min(a, b), max(a, b)) in und for a, b in itertools.combinations(q, 2))
+    )
+    got = four_clique_count(spark, edges_df(spark, pairs))
+    assert got == want and want > 0
+
+
+def test_four_clique_known_graphs(spark):
+    import itertools
+
+    from montecarlopagerank_spark.algos.triangles import four_clique_count
+    from tests.conftest import edges_df
+
+    k5 = list(itertools.combinations(range(5), 2))
+    assert four_clique_count(spark, edges_df(spark, k5)) == 5  # C(5,4)
+    cyc = [(i, (i + 1) % 6) for i in range(6)]
+    assert four_clique_count(spark, edges_df(spark, cyc)) == 0
