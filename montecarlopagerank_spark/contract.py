@@ -870,41 +870,128 @@ twom AS (SELECT CAST(SUM(k) AS DOUBLE) AS m2 FROM deg),
 lab0 AS (SELECT v, v AS c FROM deg)""",
     ]
     for r in range(rounds):
-        parts.append(f""",
-tot{r} AS (
-  SELECT c, SUM(k)::BIGINT AS tot FROM lab{r} JOIN deg USING (v) GROUP BY c
-),
-cand{r} AS (
-  SELECT v, c, SUM(kvc)::BIGINT AS kvc FROM (
-    SELECT s.u AS v, l.c AS c, s.wt AS kvc FROM sym s JOIN lab{r} l ON s.w = l.v
-    UNION ALL SELECT v, c, 0 FROM lab{r}
-  ) GROUP BY v, c
-),
-sc{r} AS (
-  SELECT cd.v, cd.c, l.c AS cv,
-         CAST(kvc AS DOUBLE)
-           - CAST(deg.k AS DOUBLE)
-             * CAST(tot - CASE WHEN cd.c = l.c THEN deg.k ELSE 0 END AS DOUBLE)
-             / (SELECT m2 FROM twom) AS score
-  FROM cand{r} cd
-  JOIN tot{r} t ON cd.c = t.c
-  JOIN lab{r} l ON cd.v = l.v
-  JOIN deg ON cd.v = deg.v
-),
-rk{r} AS (
-  SELECT v, c, cv, score,
-         ROW_NUMBER() OVER (PARTITION BY v ORDER BY score DESC, c ASC) AS rn
-  FROM sc{r} WHERE c = cv OR c {"<" if r % 2 == 0 else ">"} cv
-),
-lab{r + 1} AS MATERIALIZED (
-  SELECT b.v,
-         CASE WHEN b.score > s.score THEN b.c ELSE b.cv END AS c
-  FROM (SELECT * FROM rk{r} WHERE rn = 1) b
-  JOIN (SELECT v, score FROM sc{r} WHERE c = cv) s USING (v)
-)""")
+        parts.append(_louvain_round(r, "lab", "sym", "deg", "twom", ""))
     parts.append(f"""
 SELECT size, COUNT(*)::BIGINT AS n_communities FROM (
   SELECT c, COUNT(*)::BIGINT AS size FROM lab{rounds} GROUP BY c)
+GROUP BY size""")
+    return "".join(parts)
+
+
+def _louvain_round(r: int, lab: str, sym: str, deg: str, twom: str, tag: str) -> str:
+    """One synchronous local-move round (the level-1-verified recursion,
+    parameterized over the level's sym/deg/twom/label tables so
+    contracted levels replay the identical rules)."""
+    return f""",
+{tag}tot{r} AS (
+  SELECT c, SUM(k)::BIGINT AS tot FROM {lab}{r} JOIN {deg} USING (v) GROUP BY c
+),
+{tag}cand{r} AS (
+  SELECT v, c, SUM(kvc)::BIGINT AS kvc FROM (
+    SELECT s.u AS v, l.c AS c, s.wt AS kvc
+    FROM {sym} s JOIN {lab}{r} l ON s.w = l.v
+    UNION ALL SELECT v, c, 0 FROM {lab}{r}
+  ) GROUP BY v, c
+),
+{tag}sc{r} AS (
+  SELECT cd.v, cd.c, l.c AS cv,
+         CAST(kvc AS DOUBLE)
+           - CAST({deg}.k AS DOUBLE)
+             * CAST(tot - CASE WHEN cd.c = l.c THEN {deg}.k ELSE 0 END AS DOUBLE)
+             / (SELECT m2 FROM {twom}) AS score
+  FROM {tag}cand{r} cd
+  JOIN {tag}tot{r} t ON cd.c = t.c
+  JOIN {lab}{r} l ON cd.v = l.v
+  JOIN {deg} ON cd.v = {deg}.v
+),
+{tag}rk{r} AS (
+  SELECT v, c, cv, score,
+         ROW_NUMBER() OVER (PARTITION BY v ORDER BY score DESC, c ASC) AS rn
+  FROM {tag}sc{r} WHERE c = cv OR c {"<" if r % 2 == 0 else ">"} cv
+),
+{lab}{r + 1} AS MATERIALIZED (
+  SELECT b.v,
+         CASE WHEN b.score > s.score THEN b.c ELSE b.cv END AS c
+  FROM (SELECT * FROM {tag}rk{r} WHERE rn = 1) b
+  JOIN (SELECT v, score FROM {tag}sc{r} WHERE c = cv) s USING (v)
+)"""
+
+
+def _louvain_full_sql(rounds: int, levels: int) -> str:
+    """Full multi-level Louvain twin (algos/louvain.py with
+    ``rounds_per_level=rounds, max_levels=levels``): each level runs the
+    level-1-verified move recursion, then contracts — communities become
+    vertices, inter-community weights sum, intra weight halves into a
+    self-loop that enters k (and so Σtot/2m) but never k_{v,C}, exactly
+    the engine's convention. The engine's early level-break (a 0-move
+    level) is twin-safe: contracting an unmoved level yields an
+    isomorphic graph on the same labels, so the extra simulated levels
+    are the identity. Output: final community size histogram."""
+    parts = [
+        ("WITH " + SQL_TEDGES[1:]).replace("tedges AS (", "tedges AS MATERIALIZED ("),
+        """,
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS x, GREATEST(src, dst) AS y
+  FROM tedges WHERE src <> dst
+),
+L0sym AS MATERIALIZED (
+  SELECT x AS u, y AS w, 1::BIGINT AS wt FROM und
+  UNION ALL SELECT y, x, 1::BIGINT FROM und
+),
+L0deg AS MATERIALIZED (SELECT u AS v, SUM(wt)::BIGINT AS k FROM L0sym GROUP BY u),
+L0twom AS (SELECT CAST(SUM(k) AS DOUBLE) AS m2 FROM L0deg),
+L0lab0 AS (SELECT v, v AS c FROM L0deg)""",
+    ]
+    for lv in range(levels):
+        p = f"L{lv}"
+        for r in range(rounds):
+            parts.append(
+                _louvain_round(r, f"{p}lab", f"{p}sym", f"{p}deg", f"{p}twom", p)
+            )
+        if lv < levels - 1:
+            q = f"L{lv + 1}"
+            prev_self = (
+                f"""
+  UNION ALL SELECT l.c AS v, sw FROM {p}selfw s
+  JOIN {p}lab{rounds} l ON s.v = l.v"""
+                if lv > 0
+                else ""
+            )
+            parts.append(f""",
+{q}sym AS MATERIALIZED (
+  SELECT lu.c AS u, lw.c AS w, SUM(s.wt)::BIGINT AS wt
+  FROM {p}sym s
+  JOIN {p}lab{rounds} lu ON s.u = lu.v
+  JOIN {p}lab{rounds} lw ON s.w = lw.v
+  WHERE lu.c <> lw.c GROUP BY 1, 2
+),
+{q}selfw AS MATERIALIZED (
+  SELECT v, SUM(sw)::BIGINT AS sw FROM (
+    SELECT lu.c AS v, (SUM(s.wt) // 2)::BIGINT AS sw
+    FROM {p}sym s
+    JOIN {p}lab{rounds} lu ON s.u = lu.v
+    JOIN {p}lab{rounds} lw ON s.w = lw.v
+    WHERE lu.c = lw.c GROUP BY lu.c{prev_self}
+  ) GROUP BY v
+),
+{q}deg AS MATERIALIZED (
+  SELECT COALESCE(d.v, s2.v) AS v,
+         (COALESCE(d.k, 0) + 2 * COALESCE(s2.sw, 0))::BIGINT AS k
+  FROM (SELECT u AS v, SUM(wt)::BIGINT AS k FROM {q}sym GROUP BY u) d
+  FULL JOIN {q}selfw s2 ON d.v = s2.v
+),
+{q}twom AS (SELECT CAST(SUM(k) AS DOUBLE) AS m2 FROM {q}deg),
+{q}lab0 AS (SELECT v, v AS c FROM {q}deg)""")
+    comp = "L0lab" + str(rounds)
+    final = f"(SELECT v, c FROM {comp})"
+    for lv in range(1, levels):
+        final = (
+            f"(SELECT f.v, l.c FROM {final} f "
+            f"JOIN L{lv}lab{rounds} l ON f.c = l.v)"
+        )
+    parts.append(f"""
+SELECT size, COUNT(*)::BIGINT AS n_communities FROM (
+  SELECT c, COUNT(*)::BIGINT AS size FROM {final} f2 GROUP BY c)
 GROUP BY size""")
     return "".join(parts)
 
@@ -3344,11 +3431,13 @@ def q_louvain_level1_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_louvain_communities_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full multi-level Louvain (3 levels × 6 rounds + contraction)
-    community size histogram (rows-only: the contraction levels push the
-    unrolled SQL twin past usefulness — level 1 is hash-checked by
-    ``louvain_level1_sizes``, and the multi-level algorithm is pinned
-    EXACTLY against a pure-Python replay of the identical deterministic
-    rules plus parallelism-invariance in tests/test_louvain.py)."""
+    community size histogram — hash-checked against the level-unrolled
+    twin ``_louvain_full_sql(6, 3)`` (each level replays the verified
+    move recursion on the contracted weighted graph; the engine's
+    0-move early level-break is twin-safe since contracting an unmoved
+    level is the identity), and pinned against a pure-Python replay of
+    the identical deterministic rules plus parallelism-invariance in
+    tests/test_louvain.py."""
     from montecarlopagerank_spark.algos.louvain import louvain
 
     e = _string_edges(spark, sf_dir).select("src", "dst")
@@ -4703,6 +4792,7 @@ FROM d LEFT JOIN d r ON d.src = r.dst AND d.dst = r.src
     "katz_fixed6": _katz_sql(6, 0.05),
     "eigenvector_fixed6": _katz_sql(6, 1.0, beta=0.0, out_col="eig_n6"),
     "louvain_level1_sizes": _louvain_sql(6),
+    "louvain_communities_sizes": _louvain_full_sql(6, 3),
     "greedy_coloring": _coloring_sql(18),
     "core_numbers": _corenum_sql(20),
     # span detection: gaps-and-islands window here, doc-bounded array
