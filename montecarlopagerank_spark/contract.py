@@ -2367,6 +2367,31 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_null_model_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the degree-preserving configuration-model
+    rewiring — the null baseline that makes ``triangle_count``
+    interpretable (observed ≫ null ⇔ real triadic closure beyond what
+    the degree sequence forces; Maslov-Sneppen 2002). Composes
+    operators/nullmodel.py with the degree-oriented counter; twin
+    composes the two verified SQL fragments."""
+    from montecarlopagerank_spark.algos.triangles import _oriented
+    from montecarlopagerank_spark.operators.nullmodel import rewire_configuration
+
+    e = rewire_configuration(
+        _string_edges(spark, sf_dir).select("src", "dst")
+    ).select("src", "dst")
+    o = _oriented(e)
+    a = o.select(F.col("lo").alias("apex"), F.col("hi").alias("b"))
+    b = o.select(F.col("lo").alias("apex"), F.col("hi").alias("c"))
+    wedges = a.join(b, "apex").filter(F.col("b") < F.col("c"))
+    closing = o.select(F.col("lo").alias("b"), F.col("hi").alias("c")).unionByName(
+        o.select(F.col("hi").alias("b"), F.col("lo").alias("c"))
+    )
+    return wedges.join(closing, ["b", "c"], "left_semi").agg(
+        F.count("*").alias("triangles")
+    )
+
+
 def q_four_clique_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Total K₄ count of the undirected closure (algos/triangles.py::
     four_clique_count — π-ordered oriented-triangle extension, each
@@ -3725,6 +3750,7 @@ QUERIES = {
     "label_propagation_fixed2": q_label_propagation_fixed2,
     "triangle_count": q_triangle_count,
     "four_clique_count": q_four_clique_count,
+    "null_model_triangles": q_null_model_triangles,
     "clustering_coefficient": q_clustering_coefficient,
     "link_prediction_top50": q_link_prediction_top50,
     "adamic_adar_top50": q_adamic_adar_top50,
@@ -4141,6 +4167,27 @@ WITH {SQL_TEDGES[1:]},
 und AS (
   SELECT DISTINCT LEAST(src, dst) AS x, GREATEST(src, dst) AS y
   FROM tedges WHERE src <> dst
+)
+SELECT COUNT(*) AS triangles
+FROM und a JOIN und b ON a.y = b.x JOIN und c ON a.x = c.x AND b.y = c.y
+""",
+    # rewire twin + triangle 3-join composed: the rewired edge list is
+    # rebuilt exactly as in null_model_rewire, then counted like
+    # triangle_count on its undirected closure
+    "null_model_triangles": f"""
+WITH {SQL_TEDGES[1:]},
+s AS (
+  SELECT src, dst,
+         md5('s#' || src || '#' || dst) AS hs,
+         md5('d#' || src || '#' || dst) AS hd
+  FROM tedges
+),
+rs AS (SELECT src, ROW_NUMBER() OVER (ORDER BY hs, src, dst) - 1 AS pos FROM s),
+rd AS (SELECT dst, ROW_NUMBER() OVER (ORDER BY hd, src, dst) - 1 AS pos FROM s),
+re AS (SELECT rs.src, rd.dst FROM rs JOIN rd USING (pos)),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS x, GREATEST(src, dst) AS y
+  FROM re WHERE src <> dst
 )
 SELECT COUNT(*) AS triangles
 FROM und a JOIN und b ON a.y = b.x JOIN und c ON a.x = c.x AND b.y = c.y
