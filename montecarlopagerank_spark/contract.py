@@ -3321,6 +3321,19 @@ def q_upsample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "copy_idx")
 
 
+def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing vectorization of documents (pipeline/tfidf.py::
+    hashed_features): word bigrams → 256-dim signed sparse counts via
+    md5 buckets + md5 sign bit, no vocabulary table — the hashing-trick
+    step before linear models at corpus scale. Full sparse-triplet
+    emission hash-checked against the unnest twin."""
+    from montecarlopagerank_spark.pipeline.tfidf import hashed_features
+
+    return hashed_features(
+        _documents(spark, sf_dir), n_features=256, ngram=2
+    )
+
+
 def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view→click→purchase over events: per-step user
     counts under greedy earliest in-order matching (pipeline/funnel.py,
@@ -3806,6 +3819,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "stratified_sample_docs": q_stratified_sample_docs,
     "upsample_docs": q_upsample_docs,
+    "hashed_features": q_hashed_features,
     "null_model_rewire": q_null_model_rewire,
     "k_truss_3": q_k_truss_3,
     "kahn_layers": q_kahn_layers,
@@ -4712,6 +4726,25 @@ WITH d AS (
   FROM d
 )
 SELECT doc_id, source, CAST(UNNEST(range(copies)) AS BIGINT) AS copy_idx FROM c
+""",
+    "hashed_features": f"""
+WITH tk AS (
+  SELECT doc_id, regexp_split_to_array({SQL_NORM}, ' ') AS tk FROM documents
+), g AS (
+  SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+    THEN [array_to_string(tk[i:i+1], ' ')
+          for i in generate_series(1, len(tk) - 1)]
+    ELSE [] END) AS g
+  FROM tk
+), f AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('fh:' || g), 1, 8))::UBIGINT % 256 AS idx,
+         CASE WHEN ('0x' || substr(md5('fs:' || g), 1, 1))::UBIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM g WHERE g <> ''
+)
+SELECT doc_id, CAST(idx AS BIGINT) AS idx, SUM(s)::BIGINT AS val
+FROM f GROUP BY doc_id, idx HAVING SUM(s) <> 0
 """,
     # greedy in-order funnel: t1 = min step-1 ts, t_i = min step-i ts >= t_{i-1}
     "funnel_view_click_purchase": """

@@ -30,7 +30,7 @@ on byte-for-byte (DuckDB twin: ``regexp_split_to_array`` + unnest).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN_RE = "[^a-z0-9]+"
@@ -143,3 +143,68 @@ def bm25_search(
     )
     tf.unpersist()
     return top
+
+
+def hashed_features(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_features: int = 1024,
+    ngram: int = 2,
+) -> DataFrame:
+    """Feature hashing (the "hashing trick", Weinberger et al. ICML
+    2009): word n-grams → a fixed ``n_features``-dimensional sparse
+    signed-count vector, no vocabulary table — THE vectorization step
+    before linear models at corpus scale, because the feature space is
+    fixed a priori (no global dictionary to build, broadcast, or keep
+    consistent across jobs). Bucket = md5 of the gram mod n_features;
+    a second hash bit supplies the ±1 sign that makes collision noise
+    zero-mean. Emits sparse triplets ``(doc_id, idx, val)`` with
+    ``val = Σ ±1`` over occurrences, zero-sum entries dropped.
+
+    Deterministic — a pure function of the text (md5, not xxhash64, so
+    the DuckDB twin reproduces every bucket and sign bit exactly).
+
+    Scale shape: grams are built scan-side (let-bound token array, one
+    split per row), exploded, and reduced by ONE map-side-combined
+    groupBy on (doc_id, idx) — the same single-shuffle shape as
+    ``doc_terms``; output size ≤ Σ grams, independent of any
+    vocabulary."""
+    if n_features <= 0:
+        raise ValueError("n_features must be positive")
+    if ngram <= 0:
+        raise ValueError("ngram must be positive")
+    from montecarlopagerank_spark.pipeline.textstats import normalized_text
+
+    def grams(toks: Column) -> Column:
+        k = F.size(toks) - (ngram - 1)
+        return F.when(
+            k > 0,
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.array_join(F.slice(toks, i + 1, ngram), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    toks0 = F.split(normalized_text(F.col(text_col)), " ")
+    g = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.element_at(F.transform(F.array(toks0), grams), 1)
+        ).alias("g"),
+    ).filter(F.col("g") != "")
+    idx = F.conv(F.substring(F.md5(F.concat(F.lit("fh:"), F.col("g"))), 1, 8), 16, 10
+                 ).cast("long") % n_features
+    sign = F.when(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("fs:"), F.col("g"))), 1, 1), 16, 10
+        ).cast("long") % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        g.select("doc_id", idx.alias("idx"), sign.alias("s"))
+        .groupBy("doc_id", "idx")
+        .agg(F.sum("s").cast("bigint").alias("val"))
+        .filter(F.col("val") != 0)
+    )

@@ -111,3 +111,58 @@ def test_bm25_topk_limit_and_empty_query(spark):
 
     with pytest.raises(ValueError):
         bm25_search(docs_df(spark), "...,;")
+
+
+def hashed_naive(texts, n_features, ngram):
+    import hashlib
+    import re
+
+    out: dict = {}
+    for i, t in enumerate(texts):
+        toks = re.sub(r"\s+", " ", t.strip().lower()).split(" ")
+        grams = [
+            " ".join(toks[j : j + ngram]) for j in range(len(toks) - ngram + 1)
+        ] if len(toks) >= ngram else []
+        for g in grams:
+            if not g:
+                continue
+            idx = int(hashlib.md5(f"fh:{g}".encode()).hexdigest()[:8], 16) % n_features
+            s = 1 if int(hashlib.md5(f"fs:{g}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+            out[(i, idx)] = out.get((i, idx), 0) + s
+    return {k: v for k, v in out.items() if v != 0}
+
+
+def test_hashed_features_matches_python_twin(spark):
+    from montecarlopagerank_spark.pipeline.tfidf import hashed_features
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "the quick brown fox",          # shares grams with doc 0
+        "single",                        # no bigram
+        "",                              # empty
+        "  spaced    out   tokens  ",    # normalization collapses runs
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.idx): r.val
+        for r in hashed_features(df, n_features=64, ngram=2).collect()
+    }
+    assert got == hashed_naive(texts, 64, 2)
+    # shared grams hash identically across documents
+    shared = {(i, x) for (i, x) in got if i in (0, 2)}
+    idx0 = {x for (i, x) in shared if i == 0}
+    idx2 = {x for (i, x) in shared if i == 2}
+    assert idx2 <= idx0
+
+
+def test_hashed_features_validates_args(spark):
+    import pytest as _pytest
+
+    from montecarlopagerank_spark.pipeline.tfidf import hashed_features
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        hashed_features(df, n_features=0)
