@@ -2968,6 +2968,18 @@ def q_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dbscan_exact(spark, emb, sim_threshold=0.4, min_pts=2)
 
 
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection of embeddings to 16 dims with the
+    deterministic md5 ±1/√k sign matrix (pipeline/embeddings.py::
+    random_projection) — long-form (vec_id, dim, val_r6), hash-checked
+    against the list_reduce left-fold twin building the identical
+    matrix from the same md5 strings."""
+    from montecarlopagerank_spark.pipeline.embeddings import random_projection
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return random_projection(emb, out_dim=16, seed=7)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode (rows-only: numpy features have no SQL twin).
     ALL THREE modalities decode for real: blobs are valid BMP/PNG/JPEG
@@ -3805,6 +3817,7 @@ QUERIES = {
     "embedding_topk_lsh": q_embedding_topk_lsh,
     "embedding_near_dup_exact": q_embedding_near_dup_exact,
     "dbscan_embeddings": q_dbscan_embeddings,
+    "random_projection": q_random_projection,
     "media_features": q_media_features,
     "sessionize_events": q_sessionize_events,
     "asof_last_signup": q_asof_last_signup,
@@ -4174,6 +4187,17 @@ JOIN (SELECT src AS v, t AS t2 FROM te) o
 GROUP BY i.v
 """,
     "dbscan_embeddings": _dbscan_sql(8, 2),
+    "random_projection": """
+SELECT vec_id, CAST(r AS BIGINT) AS dim,
+  ROUND(list_reduce(list_transform(range(1, 65), j ->
+    CAST(embedding[j] AS DOUBLE) *
+    ((CASE WHEN (('0x' || substr(md5('rp:7:' || CAST(r AS VARCHAR) || ':'
+                                  || CAST(j - 1 AS VARCHAR)), 1, 1))::UBIGINT
+                 % 2) = 0
+           THEN 1.0 ELSE -1.0 END) / sqrt(16.0))
+  ), (a, b) -> a + b), 6) AS val_r6
+FROM embeddings, (SELECT unnest(range(16)) AS r)
+""",
     "label_propagation_fixed2": _lpa_sql(2),
     "label_propagation_sizes": _lpa_sql(10),
     "triangle_count": f"""

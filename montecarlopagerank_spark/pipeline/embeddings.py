@@ -172,3 +172,63 @@ def pca_project(
     """fit + transform in one call (the common path)."""
     model = fit_pca(vecs, vec_col=vec_col, k=k)
     return transform_pca(vecs, model, vec_col=vec_col, whiten=whiten), model
+
+
+def random_projection(
+    vecs: DataFrame,
+    out_dim: int,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection d → ``out_dim`` with a
+    deterministic ±1/√k sign matrix (Achlioptas, JCSS 2003: the sparse
+    sign construction satisfies the JL lemma) — the cheap distance-
+    preserving compressor BEFORE ANN/clustering at 100 TB, where a
+    learned projection (PCA) would itself need a fit pass. The matrix
+    entry (r, j) is a pure function of ``md5("rp:{seed}:{r}:{j}")``, so
+    reruns, engines, and cluster sizes build the identical matrix with
+    NOTHING stored or broadcast beyond k·d plan literals.
+
+    Emits long-form ``(id, dim, val_r6)`` (k rows per vector; r6 makes
+    the IEEE fold hash-stable). Scale shape: the matrix is baked into
+    the plan as literal arrays and each output dim is one sequential
+    ``aggregate`` fold inside codegen — zero Python, zero shuffles, one
+    narrow ``posexplode``; the DuckDB twin replays the identical left
+    fold via ``list_reduce`` (contract.py)."""
+    if out_dim <= 0:
+        raise ValueError("out_dim must be positive")
+    import hashlib
+    import math
+
+    first = vecs.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        return vecs.sparkSession.createDataFrame(
+            [], f"{id_col} long, dim long, val_r6 double"
+        )
+    d = int(first["d"])
+    inv = 1.0 / math.sqrt(out_dim)
+
+    def w(r: int, j: int) -> float:
+        h = hashlib.md5(f"rp:{seed}:{r}:{j}".encode()).hexdigest()
+        return inv if int(h[0], 16) % 2 == 0 else -inv
+
+    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    projs = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    xd,
+                    F.array(*[F.lit(w(r, j)) for j in range(d)]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+        for r in range(out_dim)
+    ]
+    return vecs.select(
+        F.col(id_col), F.posexplode(F.array(*projs)).alias("dim", "val_r6")
+    ).select(F.col(id_col), F.col("dim").cast("long").alias("dim"), "val_r6")

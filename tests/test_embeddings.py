@@ -92,3 +92,46 @@ def test_dim_stats_exact(spark):
     got = {r["dim"]: (r["mean_r6"], r["var_r6"]) for r in
            dim_stats(_vec_df(spark, X)).collect()}
     assert got == {0: (2.0, 1.0), 1: (4.0, 4.0)}
+
+
+def test_random_projection_matches_numpy_and_preserves_norms(spark, gauss_data):
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from montecarlopagerank_spark.pipeline.embeddings import random_projection
+
+    K, SEED = 12, 7
+    emb = _vec_df(spark, gauss_data)
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    d = len(next(iter(vecs.values())))
+    inv = 1.0 / math.sqrt(K)
+    R = np.array(
+        [
+            [
+                inv
+                if int(hashlib.md5(f"rp:{SEED}:{r}:{j}".encode()).hexdigest()[0], 16)
+                % 2 == 0
+                else -inv
+                for j in range(d)
+            ]
+            for r in range(K)
+        ]
+    )
+    got = {}
+    for r in random_projection(emb, out_dim=K, seed=SEED).collect():
+        got.setdefault(r.vec_id, {})[r.dim] = r.val_r6
+    for vid, v in vecs.items():
+        want = R @ v
+        for r in range(K):
+            assert got[vid][r] == pytest.approx(round(float(want[r]), 6), abs=2e-6)
+    # JL property on this blob data: projected norms concentrate around
+    # the originals (generous band — K is small)
+    ratios = [
+        float(np.linalg.norm(R @ v) / np.linalg.norm(v))
+        for v in vecs.values()
+        if np.linalg.norm(v) > 0
+    ]
+    assert 0.4 < min(ratios) and max(ratios) < 1.8
