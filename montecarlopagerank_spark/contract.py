@@ -3333,6 +3333,16 @@ def q_upsample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "copy_idx")
 
 
+def q_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4×256 count-min sketch of the corpus token frequencies
+    (pipeline/textstats.py::count_min_sketch) — the fixed-size
+    mergeable heavy-hitter summary; every counter hash-checked against
+    the unnest twin (md5 row hashes, exact int64 counts)."""
+    from montecarlopagerank_spark.pipeline.textstats import count_min_sketch
+
+    return count_min_sketch(_documents(spark, sf_dir), depth=4, width=256)
+
+
 def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing vectorization of documents (pipeline/tfidf.py::
     hashed_features): word bigrams → 256-dim signed sparse counts via
@@ -3833,6 +3843,7 @@ QUERIES = {
     "stratified_sample_docs": q_stratified_sample_docs,
     "upsample_docs": q_upsample_docs,
     "hashed_features": q_hashed_features,
+    "count_min_sketch": q_count_min_sketch,
     "null_model_rewire": q_null_model_rewire,
     "k_truss_3": q_k_truss_3,
     "kahn_layers": q_kahn_layers,
@@ -4750,6 +4761,18 @@ WITH d AS (
   FROM d
 )
 SELECT doc_id, source, CAST(UNNEST(range(copies)) AS BIGINT) AS copy_idx FROM c
+""",
+    "count_min_sketch": r"""
+WITH t AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t FROM documents
+), r AS (
+  SELECT t, unnest(range(4)) AS d FROM t WHERE t <> ''
+)
+SELECT CAST(d AS BIGINT) AS d,
+       CAST((('0x' || substr(md5('cm:' || CAST(d AS VARCHAR) || ':' || t),
+                             1, 8))::UBIGINT % 256) AS BIGINT) AS w,
+       COUNT(*)::BIGINT AS c
+FROM r GROUP BY 1, 2
 """,
     "hashed_features": f"""
 WITH tk AS (

@@ -236,3 +236,57 @@ def readability(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(ease, 4).alias("flesch_ease_r4"),
         F.round(grade, 4).alias("fk_grade_r4"),
     )
+
+
+def count_min_sketch(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cm:",
+) -> DataFrame:
+    """Count-min sketch of the corpus token-frequency distribution
+    (Cormode-Muthukrishnan, J.Alg 2005): ``depth`` rows of ``width``
+    counters, counter (d, w) = Σ occurrences of tokens with
+    ``md5(salt + d + ':' + token) % width == w``; any token's frequency
+    estimate ``min_d sketch[d][h_d(token)]`` OVERestimates truth by at
+    most ε·N with the usual (ε, δ) guarantees — the fixed-size heavy-
+    hitter summary that a 10^12-token corpus can maintain where an
+    exact vocabulary count cannot sit in one place. md5 (not xxhash64)
+    keeps the DuckDB twin bit-exact.
+
+    Emits the sketch as ``(d, w, c)`` rows — depth·width of them at
+    most, independent of corpus size; sketches of corpus shards MERGE
+    by cell-wise addition (the groupBy does exactly that), which is the
+    whole point at scale. One token explode (shared tokenization) ×
+    depth, reduced by ONE map-side-combined groupBy on the tiny
+    (d, w) key space — hub tokens collapse to per-partition partials."""
+    if depth <= 0 or width <= 0:
+        raise ValueError("depth and width must be positive")
+    toks = _tokens(F.col(text_col))
+    t = docs.select(F.explode(toks).alias("t")).filter(F.col("t") != "")
+    rows = t.select(
+        "t", F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d")
+    )
+    w = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt), F.col("d").cast("string"), F.lit(":"), F.col("t")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+    return (
+        rows.select(F.col("d").cast("long").alias("d"), w.alias("w"))
+        .groupBy("d", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )

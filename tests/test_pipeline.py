@@ -666,3 +666,46 @@ def test_jpeg_codec_roundtrip_and_structure():
         decode_jpeg(bytes(bad))
     with _pytest.raises(ValueError):
         decode_jpeg(b"not a jpeg at all")
+
+
+def test_count_min_sketch_exact_and_overestimating(spark):
+    """Sketch counters equal the python twin exactly; the CM estimate
+    (min over rows) upper-bounds every true token count, with equality
+    when width ≫ vocabulary (no collisions)."""
+    import hashlib
+    from collections import Counter
+
+    from montecarlopagerank_spark.pipeline.textstats import count_min_sketch
+
+    texts = [
+        "a b b c c c d d d d",
+        "the quick brown fox and the lazy dog",
+        "a a the the",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    truth = Counter(t for s in texts for t in s.split())
+    D, W = 3, 128
+    got = {
+        (r.d, r.w): r.c
+        for r in count_min_sketch(df, depth=D, width=W).collect()
+    }
+
+    def h(d, t):
+        return int(hashlib.md5(f"cm:{d}:{t}".encode()).hexdigest()[:8], 16) % W
+
+    want: dict = {}
+    for t, n in truth.items():
+        for d in range(D):
+            k = (d, h(d, t))
+            want[k] = want.get(k, 0) + n
+    assert got == want
+    # estimates: min over rows ≥ truth, == truth when no collisions
+    for t, n in truth.items():
+        est = min(got[(d, h(d, t))] for d in range(D))
+        assert est >= n
+    # total mass conserved per row
+    total = sum(truth.values())
+    for d in range(D):
+        assert sum(c for (dd, _), c in got.items() if dd == d) == total
