@@ -1939,6 +1939,25 @@ def q_edges_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_streaming_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch maintained INCREMENTALLY
+    (streaming/sketch_stream.py): documents staged to parquet, drained
+    through the availableNow foreachBatch cell-merge, final committed
+    sketch hash-checked against the same twin as the batch sketch —
+    streaming/batch parity on driver data (merge associativity is the
+    whole claim)."""
+    import tempfile
+
+    from montecarlopagerank_spark.streaming.sketch_stream import (
+        run_sketch_stream,
+    )
+
+    root = tempfile.mkdtemp(prefix="mcpr_cmstream_")
+    inp, out, ck = (os.path.join(root, d) for d in ("in", "out", "ck"))
+    _documents(spark, sf_dir).select("doc_id", "text").write.parquet(inp)
+    return run_sketch_stream(spark, inp, out, ck, depth=4, width=256)
+
+
 def q_turn_chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _string_edges(spark, sf_dir)
@@ -3844,6 +3863,7 @@ QUERIES = {
     "upsample_docs": q_upsample_docs,
     "hashed_features": q_hashed_features,
     "count_min_sketch": q_count_min_sketch,
+    "sketch_streaming_cells": q_sketch_streaming_cells,
     "null_model_rewire": q_null_model_rewire,
     "k_truss_3": q_k_truss_3,
     "kahn_layers": q_kahn_layers,
@@ -5119,6 +5139,7 @@ FROM totals t LEFT JOIN kept USING (doc_id)
 # the roundtrip queries must reproduce the base view exactly
 # 22 unrolled rounds: every CTE must be MATERIALIZED or DuckDB's inliner
 # re-scans events.parquet exponentially and exhausts the fd limit
+ORACLE_SQL["sketch_streaming_cells"] = ORACLE_SQL["count_min_sketch"]
 ORACLE_SQL["pagerank_power_top20"] = (
     re.sub(r"\n(\w+) AS \(", lambda mo: f"\n{mo.group(1)} AS MATERIALIZED (",
            _pi_sql(22)).replace(

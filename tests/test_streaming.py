@@ -467,3 +467,33 @@ def test_sliding_window_stream_equals_closed_batch_windows(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     )
     assert got == want and len(got) > 0
+
+
+def _sketch_dict(df):
+    return {(r.d, r.w): r.c for r in df.collect()}
+
+
+def test_sketch_stream_equals_batch_across_batches(spark, tmp_path):
+    """Cell-wise merged micro-batch sketches equal the one-shot batch
+    sketch over the same corpus, however the corpus was split."""
+    from montecarlopagerank_spark.pipeline.textstats import count_min_sketch
+    from montecarlopagerank_spark.streaming.sketch_stream import (
+        run_sketch_stream,
+    )
+
+    docs = _docs_fixture(spark).persist()
+    inp, out, ck = (str(tmp_path / d) for d in ("sin", "sout", "sck"))
+    os.makedirs(inp, exist_ok=True)
+    docs.filter("doc_id < 6").write.mode("append").parquet(inp)
+    got1 = run_sketch_stream(spark, inp, out, ck, depth=3, width=64)
+    want1 = count_min_sketch(docs.filter("doc_id < 6"), depth=3, width=64)
+    assert _sketch_dict(got1) == _sketch_dict(want1)
+
+    docs.filter("doc_id >= 6").write.mode("append").parquet(inp)
+    got2 = run_sketch_stream(spark, inp, out, ck, depth=3, width=64)
+    want2 = count_min_sketch(docs, depth=3, width=64)
+    assert _sketch_dict(got2) == _sketch_dict(want2)
+
+    # re-draining with nothing new is the identity (exactly-once)
+    got3 = run_sketch_stream(spark, inp, out, ck, depth=3, width=64)
+    assert _sketch_dict(got3) == _sketch_dict(want2)
