@@ -281,6 +281,23 @@ def main() -> None:
             docs, id_col="doc_id", text_col="text", size=200, stride=160
         ).agg(F.sum("chunk_len")).collect()
 
+    with timed("vectorize_sketch"):
+        from montecarlopagerank_spark.pipeline.textstats import count_min_sketch
+        from montecarlopagerank_spark.pipeline.tfidf import hashed_features
+
+        extra["hashed_nnz"] = hashed_features(
+            docs, n_features=1024, ngram=2
+        ).count()
+        extra["cm_cells"] = count_min_sketch(docs, depth=4, width=1024).count()
+
+    with timed("quality_funnel"):
+        from montecarlopagerank_spark.pipeline.quality_filters import (
+            quality_funnel,
+        )
+
+        fr = {r.stage: r.n_docs for r in quality_funnel(docs).collect()}
+        extra["funnel_kept"] = fr.get(4, 0)
+
     with timed("pack_butterfly"):
         from montecarlopagerank_spark.operators.projection import butterfly_stats
         from montecarlopagerank_spark.pipeline.sampling import pack_sequences
