@@ -3661,6 +3661,30 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination pre-filter (pipeline/contamination
+    .py): the 10% benchmark's 3-gram shingles → a 2^16-bit/4-hash Bloom
+    position table (broadcastable whatever the benchmark size); per
+    train doc the count of shingles passing ALL 4 bits — the
+    no-false-negative suspect set the exact join would then verify.
+    Hash-checked against the position-table twin bit for bit."""
+    from montecarlopagerank_spark.pipeline.contamination import (
+        bloom_positions,
+        bloom_prefilter,
+        word_shingles,
+    )
+    from montecarlopagerank_spark.pipeline.sampling import hash_bucket
+
+    docs = _documents(spark, sf_dir)
+    b = hash_bucket(F.col("doc_id"), "contam:")
+    bench = docs.filter(b < CONTAM_CUT)
+    bench_sh = bench.select(
+        F.explode(word_shingles(F.col("text"), 3)).alias("g")
+    )
+    bloom = bloom_positions(bench_sh, key_col="g")
+    return bloom_prefilter(docs.filter(b >= CONTAM_CUT), bloom, n=3)
+
+
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
@@ -3893,6 +3917,7 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "pii_scrub_events": q_pii_scrub_events,
     "contamination_check": q_contamination_check,
+    "bloom_prefilter": q_bloom_prefilter,
     "line_dedup_docs": q_line_dedup_docs,
     "kmeans_embeddings": q_kmeans_embeddings,
     "ivf_topk": q_ivf_topk,
@@ -5068,6 +5093,43 @@ s4 AS (SELECT *,
 SELECT event_id, n_email, n_ipv4, n_phone, n_digit_run, t4 AS redacted,
        (n_email + n_ipv4 + n_phone + n_digit_run)::BIGINT AS n_pii
 FROM s4
+""",
+    "bloom_prefilter": f"""
+WITH tagged AS (
+  SELECT doc_id, text,
+    ('0x' || substr(md5('contam:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS b
+  FROM documents
+), sh AS (
+  SELECT doc_id, b,
+    CASE WHEN len(tk) >= 3
+         THEN list_distinct(list_transform(range(1, len(tk)-1),
+                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+         ELSE [] END AS sh
+  FROM (SELECT doc_id, b, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+        FROM tagged)
+), bset AS (
+  SELECT DISTINCT unnest(sh) AS g FROM sh WHERE b < {CONTAM_CUT}
+), bpos AS (
+  SELECT DISTINCT
+    (('0x' || substr(md5('bf:' || CAST(h AS VARCHAR) || ':' || g), 1, 8))::UBIGINT
+     % 65536) AS pos
+  FROM bset, (SELECT unnest(range(4)) AS h)
+), t AS (
+  SELECT doc_id, len(sh)::BIGINT AS n_shingles, sh FROM sh WHERE b >= {CONTAM_CUT}
+), tp AS (
+  SELECT doc_id, g,
+    (('0x' || substr(md5('bf:' || CAST(h AS VARCHAR) || ':' || g), 1, 8))::UBIGINT
+     % 65536) AS pos
+  FROM (SELECT doc_id, unnest(sh) AS g FROM t), (SELECT unnest(range(4)) AS h)
+), sus AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_suspect FROM (
+    SELECT doc_id, g FROM tp JOIN bpos USING (pos)
+    GROUP BY doc_id, g HAVING COUNT(*) = 4
+  ) GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_shingles,
+       COALESCE(sus.n_suspect, 0)::BIGINT AS n_suspect
+FROM t LEFT JOIN sus USING (doc_id)
 """,
     "contamination_check": f"""
 WITH tagged AS (

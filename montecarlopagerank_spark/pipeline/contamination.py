@@ -92,3 +92,114 @@ def contamination_check(
             (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def bloom_positions(
+    keys: DataFrame,
+    *,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 4,
+    salt: str = "bf:",
+) -> DataFrame:
+    """Build a Bloom filter of the key set as its SET-BIT POSITION table
+    (Bloom, CACM 1970): position ``md5(salt + h + ':' + key) % m_bits``
+    for h in 0..k−1. Distinct positions, ≤ min(k·|keys|, m) rows — the
+    compact relational form of the bitset (a 2^16-bit filter is ≤ 64 Ki
+    rows ⇒ broadcastable however huge the key set was). Deterministic
+    (md5), so the DuckDB twin reproduces every bit."""
+    if m_bits <= 0 or k_hashes <= 0:
+        raise ValueError("m_bits and k_hashes must be positive")
+    k = keys.select(F.col(key_col).cast("string").alias("g")).distinct()
+    rows = k.select(
+        "g",
+        F.explode(F.array(*[F.lit(h) for h in range(k_hashes)])).alias("h"),
+    )
+    pos = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt), F.col("h").cast("string"), F.lit(":"), F.col("g")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % m_bits
+    )
+    return rows.select(pos.alias("pos")).distinct()
+
+
+def bloom_prefilter(
+    train: DataFrame,
+    bloom: DataFrame,
+    *,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = 1 << 16,
+    k_hashes: int = 4,
+    salt: str = "bf:",
+) -> DataFrame:
+    """The decontamination pre-filter: per train doc, how many distinct
+    shingles pass a Bloom filter of the benchmark shingle set (ALL k
+    positions set). NO FALSE NEGATIVES by construction — every truly
+    contaminated shingle passes — so the exact join only needs the
+    passing shingles: at 100 TB this turns the shingle-keyed shuffle
+    from |corpus shingles| into |suspects| (FP rate ≈ (1−e^{−kn/m})^k
+    of the rest), with the filter itself a ≤ m-row broadcast instead of
+    a benchmark-sized side.
+
+    Emits (id, n_shingles, n_suspect) for every train row. Compose:
+    ``contamination_check`` on the suspects equals the unfiltered check
+    (tests pin the no-false-negative containment)."""
+    sh = word_shingles(F.col(text_col), n)
+    t = train.select(
+        F.col(id_col), F.size(sh).cast("long").alias("n_shingles"), sh.alias("sh")
+    )
+    g = t.select(id_col, F.explode("sh").alias("g"))
+    rows = g.select(
+        id_col,
+        "g",
+        F.explode(F.array(*[F.lit(h) for h in range(k_hashes)])).alias("h"),
+    )
+    pos = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt), F.col("h").cast("string"), F.lit(":"), F.col("g")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % m_bits
+    )
+    # a shingle is suspect iff ALL k of its positions are set: count the
+    # set hits per (doc, shingle) against the broadcast position table
+    hits = (
+        rows.select(id_col, "g", pos.alias("pos"))
+        .join(F.broadcast(bloom), "pos", "left_semi")
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("nh"))
+        .filter(F.col("nh") == k_hashes)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_suspect"))
+    )
+    return (
+        t.drop("sh")
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce("n_suspect", F.lit(0)).cast("long").alias("n_suspect"),
+        )
+    )

@@ -284,3 +284,56 @@ def test_quality_funnel_stages_monotone_and_exact(spark):
     assert counts[1] == 3 and counts[2] == 2 and counts[3] == 2 and counts[4] == 1
     # char mass consistent: stage-0 mass is the total text length
     assert rows[0].n_chars == sum(len(t) for t in (good, dupe, short, reps))
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    """Every truly contaminated shingle passes the Bloom prefilter
+    (suspect counts dominate contaminated counts, doc for doc), and a
+    tight filter keeps false positives plausible."""
+    import random
+
+    from montecarlopagerank_spark.pipeline.contamination import (
+        bloom_positions,
+        bloom_prefilter,
+        contamination_check,
+        word_shingles,
+    )
+
+    rng = random.Random(97)
+    vocab = [f"w{i}" for i in range(40)]
+    mk = lambda: " ".join(rng.choice(vocab) for _ in range(25))  # noqa: E731
+    bench_texts = [mk() for _ in range(6)]
+    # half the train docs embed a benchmark span verbatim → contaminated
+    train_texts = [
+        (mk() + " " + " ".join(bench_texts[i % 6].split()[3:9])) if i % 2 == 0
+        else mk()
+        for i in range(20)
+    ]
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train_texts)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(bench_texts)], "doc_id long, text string"
+    )
+    from pyspark.sql import functions as F2
+
+    bloom = bloom_positions(
+        bench.select(F2.explode(word_shingles(F2.col("text"), 5)).alias("g")),
+        key_col="g", m_bits=1 << 14, k_hashes=4,
+    )
+    pre = {
+        r.doc_id: r.n_suspect
+        for r in bloom_prefilter(
+            train, bloom, n=5, m_bits=1 << 14, k_hashes=4
+        ).collect()
+    }
+    exact = {
+        r.doc_id: r.n_contaminated
+        for r in contamination_check(train, bench, n=5).collect()
+    }
+    assert set(pre) == set(exact)
+    for d in exact:
+        assert pre[d] >= exact[d]  # no false negatives, ever
+    assert sum(1 for d in exact if exact[d] > 0) >= 8  # fixture is real
+    # at 2^14 bits / ~130 benchmark shingles the FP load stays small
+    assert sum(pre.values()) <= sum(exact.values()) + 10
