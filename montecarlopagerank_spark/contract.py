@@ -73,6 +73,18 @@ tedges AS (
 SQL_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
 
+def _tedges_variant(sfx: str, where: str = "") -> str:
+    """The SQL_TEDGES chain with suffixed CTE names (and an optional
+    events filter) so one query can build two edge tables — the
+    edge-delta twin's A/B instantiation."""
+    s = SQL_TEDGES[1:]
+    s = s.replace("FROM events", f"FROM events{where}")
+    for name in ("turns", "chained", "tedges"):
+        s = s.replace(f"{name} AS (", f"{name}{sfx} AS (")
+        s = s.replace(f"FROM {name}", f"FROM {name}{sfx}")
+    return s
+
+
 def _pi_sql(iters: int, eps: float = EPS) -> str:
     """Power-iteration PageRank unrolled to ``iters`` supersteps as chained
     CTEs — the exact relational twin of algos/pagerank_power.py's loop
@@ -1956,6 +1968,64 @@ def q_sketch_streaming_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     inp, out, ck = (os.path.join(root, d) for d in ("in", "out", "ck"))
     _documents(spark, sf_dir).select("doc_id", "text").write.parquet(inp)
     return run_sketch_stream(spark, inp, out, ck, depth=4, width=256)
+
+
+def q_edge_delta_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset delta of the typed edge table across an event-log
+    append: edges(full log) − edges(first-half prefix by event ts
+    median cut), per (src, dst, kind) — the batch ground truth the
+    incremental streaming builder must produce for the appended half,
+    INCLUDING the chain edges that span the cut (a prefix's last turn
+    chains to the append's first). Engine: two edge builds + one
+    count-difference full join; twin mirrors with two grouped counts.
+    Nonzero deltas only; ``delta`` can never be negative on an
+    append-only log (edges are never retracted) — the twin would catch
+    a violation as a hash mismatch."""
+    ts_all = transcripts_from_events(spark, sf_dir)
+    # floor() explicitly: Spark's double→long cast truncates but
+    # DuckDB's rounds, and the interpolated median can be fractional
+    cut = _events(spark, sf_dir).agg(
+        F.floor(
+            F.expr("percentile(unix_micros(CAST(ts AS TIMESTAMP)), 0.5)")
+        ).cast("long")
+    ).collect()[0][0]
+    from montecarlopagerank_spark.sources.transcripts import transcripts_of_events
+
+    ev = _events(spark, sf_dir).filter(
+        F.unix_micros(F.col("ts").cast("timestamp")) <= cut
+    )
+    ts_old = transcripts_of_events(ev)
+    new_e = (
+        _typed_string_edges_of(ts_all)
+        .groupBy("src", "dst", "kind")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    old_e = (
+        _typed_string_edges_of(ts_old)
+        .groupBy("src", "dst", "kind")
+        .agg(F.count(F.lit(1)).alias("n_old"))
+    )
+    return (
+        new_e.join(old_e, ["src", "dst", "kind"], "full")
+        .select(
+            "src",
+            "dst",
+            "kind",
+            (
+                F.coalesce("n_new", F.lit(0)) - F.coalesce("n_old", F.lit(0))
+            ).cast("bigint").alias("delta"),
+        )
+        .filter(F.col("delta") != 0)
+    )
+
+
+def _typed_string_edges_of(ts: DataFrame) -> DataFrame:
+    te = _typed_edges(ts)
+    return te.select(
+        F.concat("src_kind", F.lit("#"), "src_key").alias("src"),
+        F.concat("dst_kind", F.lit("#"), "dst_key").alias("dst"),
+        "kind",
+    )
 
 
 def q_turn_chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3888,6 +3958,7 @@ QUERIES = {
     "hashed_features": q_hashed_features,
     "count_min_sketch": q_count_min_sketch,
     "sketch_streaming_cells": q_sketch_streaming_cells,
+    "edge_delta_append": q_edge_delta_append,
     "null_model_rewire": q_null_model_rewire,
     "k_truss_3": q_k_truss_3,
     "kahn_layers": q_kahn_layers,
@@ -3946,6 +4017,21 @@ SELECT kind, COUNT(*) AS n_edges FROM tedges GROUP BY kind
     "edges_streaming_counts": f"""
 WITH {SQL_TEDGES[1:]}
 SELECT kind, COUNT(*) AS n_edges FROM tedges GROUP BY kind
+""",
+    "edge_delta_append": f"""
+WITH cutv AS (
+  SELECT CAST(FLOOR(quantile_cont(epoch_us(ts), 0.5)) AS BIGINT) AS cut
+  FROM events
+),
+{_tedges_variant('A')},
+{_tedges_variant('B', ' WHERE epoch_us(ts) <= (SELECT cut FROM cutv)')}
+SELECT src, dst, kind,
+       (COALESCE(n_new, 0) - COALESCE(n_old, 0))::BIGINT AS delta
+FROM (SELECT src, dst, kind, COUNT(*) AS n_new FROM tedgesA GROUP BY 1, 2, 3) n
+FULL JOIN (SELECT src, dst, kind, COUNT(*) AS n_old FROM tedgesB
+           GROUP BY 1, 2, 3) o
+  USING (src, dst, kind)
+WHERE COALESCE(n_new, 0) <> COALESCE(n_old, 0)
 """,
     "turn_chain_edges": f"""
 WITH {SQL_TEDGES[1:]}

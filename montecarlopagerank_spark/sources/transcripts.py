@@ -58,7 +58,12 @@ def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mirrors FIXTURES.md F5; the matching ANSI SQL lives in
     __spark_entry__.oracle_sql().
     """
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return transcripts_of_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def transcripts_of_events(ev: DataFrame) -> DataFrame:
+    """The same transcript view over an events DataFrame already in hand
+    (any prefix/filter of the log — the incremental-delta consumers)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
         F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"),
