@@ -73,11 +73,23 @@ def minimum_spanning_forest(
         )
     else:
         # min weight per pair first (multigraph collapse), THEN the
-        # unique priority: fixed-width zero-padded weight prefix keeps
-        # string ordering == (w, md5key) ordering for non-negative w
+        # unique priority: a fixed-width zero-padded "%030.9f" weight
+        # prefix keeps string ordering == (w, md5key) ordering for
+        # non-negative doubles (fractional weights are NOT truncated;
+        # weights that differ only beyond 9 decimals tie and fall back
+        # to the md5 break — any tie-broken optimum is an optimum).
+        # Negative weights would zero-pad out of order ('…0-5' > '…0-3'),
+        # so they are rejected up front with one cheap min-aggregate.
         w = edges.filter(F.col("src") != F.col("dst")).select(
-            x, y, F.col(weight_col).cast("long").alias("w")
+            x, y, F.col(weight_col).cast("double").alias("w")
         )
+        wmin = w.agg(F.min("w").alias("mn")).collect()[0]["mn"]
+        if wmin is not None and wmin < 0:
+            raise ValueError(
+                f"minimum_spanning_forest: negative weight {wmin} in "
+                f"column {weight_col!r}; the zero-padded priority "
+                "encoding requires non-negative weights"
+            )
         p = (
             w.groupBy("x", "y")
             .agg(F.min("w").alias("w"))
@@ -85,7 +97,7 @@ def minimum_spanning_forest(
                 "x",
                 "y",
                 F.concat(
-                    F.lpad(F.col("w").cast("string"), 19, "0"),
+                    F.format_string("%030.9f", F.col("w")),
                     F.lit("|"),
                     _edge_pri(F.col("x"), F.col("y")),
                 ).alias("pri"),

@@ -7,8 +7,9 @@ colors (Weisfeiler-Leman 1968; the expressiveness ceiling of
 message-passing GNNs — Xu et al. ICLR 2019 —, so WL colors ARE the
 classic structural feature/fingerprint for graph ML, and equal-color
 vertices are structurally indistinguishable to any MPNN). Color₀ is
-the (in, out) degree pair; ``rounds`` of refinement distinguish
-vertices whose r-hop neighbourhoods differ.
+the (out, in) degree pair — md5(outdeg || '|' || indeg), in that
+order, matching contract._wl_sql; ``rounds`` of refinement
+distinguish vertices whose r-hop neighbourhoods differ.
 
 Multiset encoding WITHOUT per-vertex sorting: a hub vertex must never
 ``collect_list`` its 10^9 neighbour colors. The neighbour multiset is

@@ -217,9 +217,12 @@ def vertex_features(edges: DataFrame) -> DataFrame:
     """Per-vertex neighborhood feature table — the standard feature-
     engineering pass before link prediction / GNN training / anomaly
     screens: ``(v, out_deg, in_deg, deg, mean_nbr_deg, wedges)`` where
-    ``deg`` counts distinct undirected neighbors, ``mean_nbr_deg`` is the
-    average undirected degree over them (the per-vertex assortativity
-    signal), and ``wedges`` = Σ_w (deg(w) − 1) counts 2-paths ending at v
+    ``deg`` counts distinct undirected neighbors, ``sum_nbr_deg`` is the
+    exact integer Σ_w deg(w) over them (``mean_nbr_deg`` =
+    sum_nbr_deg/deg, the per-vertex assortativity signal, is emitted too
+    as a convenience double — exact-comparison consumers should use the
+    integer rational pair, which can't hit a float rounding half-tie),
+    and ``wedges`` = Σ_w (deg(w) − 1) counts 2-paths ending at v
     (the denominator family for clustering/triangle rates).
 
     Scale shape: one distinct over the pair set, two map-side-combined
@@ -243,7 +246,7 @@ def vertex_features(edges: DataFrame) -> DataFrame:
         )
         .groupBy(F.col("u").alias("v"))
         .agg(
-            F.round(F.avg("wdeg"), 6).alias("mean_nbr_deg"),
+            F.sum("wdeg").alias("sum_nbr_deg"),
             F.sum(F.col("wdeg") - F.lit(1)).alias("wedges"),
         )
     )
@@ -254,7 +257,11 @@ def vertex_features(edges: DataFrame) -> DataFrame:
         .select(
             "v", "out_deg", "in_deg",
             F.coalesce("deg", F.lit(0)).alias("deg"),
-            F.coalesce("mean_nbr_deg", F.lit(0.0)).alias("mean_nbr_deg"),
+            F.coalesce("sum_nbr_deg", F.lit(0)).alias("sum_nbr_deg"),
+            (
+                F.coalesce("sum_nbr_deg", F.lit(0))
+                / F.greatest(F.coalesce("deg", F.lit(0)), F.lit(1))
+            ).alias("mean_nbr_deg"),
             F.coalesce("wedges", F.lit(0)).alias("wedges"),
         )
     )

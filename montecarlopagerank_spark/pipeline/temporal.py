@@ -223,11 +223,21 @@ def conversation_profile(transcripts: DataFrame) -> DataFrame:
     transcript corpus: ``(conv_id, n_turns, n_roles, n_tool_calls,
     duration_us, total_chars)``. ONE map-side-combined aggregation keyed
     by conv_id (µs-exact duration via the shared _us cast; distinct-role
-    count collapses map-side because roles per conversation are tiny)."""
+    count collapses map-side because roles per conversation are tiny).
+
+    Every column is a NON-NULL BIGINT by construction: a conversation
+    whose ts (or text) rows are all NULL gets duration_us = 0 (resp.
+    total_chars = 0) instead of NULL. A nullable long column round-trips
+    through Arrow/pandas as float64 with NaN, which hash-canonicalizes
+    differently from SQL NULL — the r03 driver hash-FAIL mode."""
     return transcripts.groupBy("conv_id").agg(
         F.count(F.lit(1)).alias("n_turns"),
         F.countDistinct("role").alias("n_roles"),
         F.count("tool").alias("n_tool_calls"),  # count skips nulls
-        (F.max(_us("ts")) - F.min(_us("ts"))).alias("duration_us"),
-        F.sum(F.length("text")).alias("total_chars"),
+        F.coalesce(F.max(_us("ts")) - F.min(_us("ts")), F.lit(0))
+        .cast("long")
+        .alias("duration_us"),
+        F.coalesce(F.sum(F.length("text")), F.lit(0))
+        .cast("long")
+        .alias("total_chars"),
     )

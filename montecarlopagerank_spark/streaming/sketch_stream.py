@@ -11,10 +11,16 @@ through — the summary a 10^12-token ingest keeps where exact
 vocabulary counts cannot sit anywhere.
 
 Exactly-once: the sink follows checkpoint.py's manifest-after-parquet
-convention — the merged sketch lands in a per-batch directory, then a
-marker file commits it; a ``foreachBatch`` retry of an already-marked
-batch_id is a no-op, so replays are idempotent and a reader always
-sees the last COMMITTED sketch.
+convention — the merged sketch lands in a per-batch directory, then an
+atomically-replaced ``MANIFEST.json`` commits it. The manifest IS the
+retry guard: a ``foreachBatch`` retry of a batch_id the manifest
+already records is a no-op. (A separate post-manifest marker file
+would reopen the door it closes: a crash between manifest write and
+marker write leaves the manifest pointing at a sketch that already
+contains the batch while the marker is absent, so the retry would
+fold the batch in twice. One commit point, checked and advanced
+atomically via tmp + ``os.replace``, closes both that double-count
+window and torn-manifest reads.)
 
 Parity contract: after draining any prefix of the document log, the
 stored sketch equals the batch ``count_min_sketch`` over exactly that
@@ -36,14 +42,22 @@ from montecarlopagerank_spark.pipeline.textstats import count_min_sketch
 SKETCH_SCHEMA = "d long, w long, c long"
 
 
-def read_sketch(spark: SparkSession, out_dir: str) -> DataFrame:
-    """The last committed sketch (empty if none committed yet)."""
+def _committed(out_dir: str) -> dict | None:
+    """The manifest's committed {dir, batch_id}, or None before the
+    first commit. Written via tmp + os.replace, so never torn."""
     mf = os.path.join(out_dir, "MANIFEST.json")
     if not os.path.exists(mf):
-        return spark.createDataFrame([], SKETCH_SCHEMA)
+        return None
     with open(mf) as f:
-        committed = json.load(f)["dir"]
-    return spark.read.parquet(os.path.join(out_dir, committed))
+        return json.load(f)
+
+
+def read_sketch(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The last committed sketch (empty if none committed yet)."""
+    meta = _committed(out_dir)
+    if meta is None:
+        return spark.createDataFrame([], SKETCH_SCHEMA)
+    return spark.read.parquet(os.path.join(out_dir, meta["dir"]))
 
 
 def run_sketch_stream(
@@ -62,9 +76,9 @@ def run_sketch_stream(
     os.makedirs(out_dir, exist_ok=True)
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(out_dir, f"_committed_{batch_id}")
-        if os.path.exists(marker):  # foreachBatch retry: no-op
-            return
+        meta = _committed(out_dir)
+        if meta is not None and meta["batch_id"] >= batch_id:
+            return  # foreachBatch retry of an already-committed batch: no-op
         part = count_min_sketch(
             batch_df, text_col=text_col, depth=depth, width=width
         )
@@ -76,10 +90,12 @@ def run_sketch_stream(
         )
         dest = f"sketch_{batch_id}"
         merged.write.mode("overwrite").parquet(os.path.join(out_dir, dest))
-        # manifest-after-parquet: the write is invisible until this point
-        with open(os.path.join(out_dir, "MANIFEST.json"), "w") as f:
+        # manifest-after-parquet: the write is invisible until the rename
+        # lands, and the rename is the SINGLE commit+retry-guard point
+        tmp = os.path.join(out_dir, "MANIFEST.json.tmp")
+        with open(tmp, "w") as f:
             json.dump({"dir": dest, "batch_id": batch_id}, f)
-        open(marker, "w").close()
+        os.replace(tmp, os.path.join(out_dir, "MANIFEST.json"))
 
     q = (
         spark.readStream.schema(schema)

@@ -7,6 +7,8 @@ from __future__ import annotations
 import hashlib
 import random
 
+import pytest
+
 from montecarlopagerank_spark.algos.msf import minimum_spanning_forest
 from tests.conftest import edges_df
 
@@ -136,3 +138,22 @@ def test_weighted_randomized_vs_kruskal(spark):
 def test_empty_and_self_loop_only(spark):
     got, info = run(spark, [(3, 3)])
     assert got == set() and info["n_edges"] == 0 and info["converged"]
+
+
+def test_weighted_fractional_not_truncated(spark):
+    # w=0.5 on (0,1) must beat w=0.9 on (0,2) even though both would
+    # truncate to 0 under a long cast; triangle closed by (1,2,w=2.0)
+    rows = [(0, 1, 0.5), (0, 2, 0.9), (1, 2, 2.0)]
+    df = spark.createDataFrame(rows, "src long, dst long, w double")
+    out, info = minimum_spanning_forest(spark, df, weight_col="w")
+    got = {(r.x, r.y) for r in out.collect()}
+    assert got == {(0, 1), (0, 2)}  # drops the heaviest edge, not a random one
+    assert info["converged"]
+
+
+def test_weighted_negative_raises(spark):
+    df = spark.createDataFrame(
+        [(0, 1, -5.0), (1, 2, 3.0)], "src long, dst long, w double"
+    )
+    with pytest.raises(ValueError, match="negative weight"):
+        minimum_spanning_forest(spark, df, weight_col="w")

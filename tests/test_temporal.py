@@ -196,3 +196,39 @@ def test_conversation_profile_closed_form(spark):
     assert c1["duration_us"] == 5_000_000
     assert c1["total_chars"] == len("hi") + len("hello!") + len("bye")
     assert (got["c2"]["n_turns"], got["c2"]["duration_us"]) == (1, 0)
+
+
+def test_conversation_profile_null_adversarial(spark):
+    """The r03 driver hash-FAIL mode: a conversation whose ts (or text)
+    values are ALL NULL must yield duration_us = 0 / total_chars = 0 as
+    non-null BIGINTs — a nullable long round-trips through Arrow/pandas
+    as float64 NaN and hash-canonicalizes differently from SQL NULL."""
+    import datetime as dt
+
+    from montecarlopagerank_spark.pipeline.temporal import conversation_profile
+
+    b = dt.datetime(2024, 3, 1)
+    rows = [
+        ("c1", 0, "user", None, None, None),      # all-NULL ts + text
+        ("c1", 1, "assistant", None, "bash", None),
+        ("c2", 0, None, "x", None, b),            # NULL role
+        ("c2", 1, "user", None, None, None),      # mixed NULL ts/text
+    ]
+    ts = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp")
+    out = conversation_profile(ts)
+    # non-null long columns, never nullable-coerced
+    dtypes = dict(out.dtypes)
+    assert dtypes["duration_us"] == "bigint"
+    assert dtypes["total_chars"] == "bigint"
+    got = {r["conv_id"]: r for r in out.collect()}
+    c1, c2 = got["c1"], got["c2"]
+    assert (c1["duration_us"], c1["total_chars"]) == (0, 0)
+    assert c1["n_roles"] == 2 and c1["n_tool_calls"] == 1
+    # one non-null ts → max-min over the singleton = 0; one non-null text
+    assert (c2["duration_us"], c2["total_chars"]) == (0, 1)
+    assert c2["n_roles"] == 1  # countDistinct skips the NULL role
+    pdf = out.toPandas()
+    assert str(pdf["duration_us"].dtype) == "int64"  # no float64 NaN coercion
+    assert str(pdf["total_chars"].dtype) == "int64"
