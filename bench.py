@@ -511,6 +511,15 @@ def main() -> None:
         ).agg(F.sum("n_contaminated")).collect()
 
     total = round(sum(queries.values()), 3)
+    # round-over-round comparability: the registry grows every round, so
+    # the grand total is not comparable across BENCH_r{N}.json artifacts.
+    # The 9-query subtotal below is the set timed since round 2 — compare
+    # THIS machine-readable field, not "value", across rounds.
+    comparable_9 = [
+        "graph_build", "pagerank_power_1e6", "pagerank_mc_k10x10",
+        "connected_components", "label_propagation_10", "triangle_count",
+        "minhash_dedup", "text_stats", "ann_lsh_topk",
+    ]
     print(
         json.dumps(
             {
@@ -518,6 +527,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
+                "comparable_subtotal": round(
+                    sum(queries.get(q, 0.0) for q in comparable_9), 3
+                ),
+                "comparable_queries": comparable_9,
                 "sf": float(sf),
                 "extra": extra,
             }

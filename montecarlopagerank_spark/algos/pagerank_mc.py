@@ -535,10 +535,25 @@ def pagerank_monte_carlo(
     K = max(walks_per_vertex, 1)  # MonteCarloPageRank.scala:101
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     t_plan0 = time.time()
+    # flat per-superstep materializer (state.py) — created BEFORE the
+    # block plan so the pack kernel knows the CSR root and can publish
+    # each block's decoded arrays at pack time (mmap side-files under
+    # <csr>/_decoded): the warm pass then only mmaps, never re-decodes
+    store = StateStore(spark, root=state_root)
+    # the loop-invariant CSR goes to block_id-partitioned parquet ONCE;
+    # the walk kernel's workers load + cache their blocks from these
+    # side-files (DFS on a real cluster), so the graph never re-crosses
+    # the JVM→Arrow boundary per superstep (module docstring, item 2)
+    csr_path = store.root.rstrip("/") + "/csr"
     # edges_per_block=None → the planner derives the ≈2-blocks-per-slot
     # default from the degree aggregate it computes anyway (no extra pass)
     blocks_assign, csr, plan_meta = plan_walk_blocks(
-        edges, edges_per_block=edges_per_block, n_partitions=n_parts
+        edges,
+        edges_per_block=edges_per_block,
+        n_partitions=n_parts,
+        # pack-time publication needs a local (host-shared) root; DFS
+        # roots keep the lazy decode+publish path on first touch
+        publish_root=csr_path if _is_local(csr_path) else None,
     )
     edges_per_block = plan_meta["edges_per_block"]
     if fuse_steps is None:
@@ -547,13 +562,6 @@ def pagerank_monte_carlo(
         # driver-side analysis stays in the noise
         fuse_steps = 1 if plan_meta["has_hubs"] else 6
     t_plan1 = time.time()
-    # flat per-superstep materializer (state.py)
-    store = StateStore(spark, root=state_root)
-    # the loop-invariant CSR goes to block_id-partitioned parquet ONCE;
-    # the walk kernel's workers load + cache their blocks from these
-    # side-files (DFS on a real cluster), so the graph never re-crosses
-    # the JVM→Arrow boundary per superstep (module docstring, item 2)
-    csr_path = store.root.rstrip("/") + "/csr"
     # NO repartition before the write: the pack kernel's own groupBy
     # exchange already produced block_id-partitioned output (64 fat rows),
     # and re-exchanging them shuffles the entire packed CSR (~4.3 GB/TB of

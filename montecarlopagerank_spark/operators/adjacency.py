@@ -117,6 +117,7 @@ def plan_walk_blocks(
     edges_per_block: int | None = 1 << 20,
     coarse: int = 1 << 16,
     n_partitions: int | None = None,
+    publish_root: str | None = None,
 ) -> tuple[DataFrame, DataFrame, dict]:
     """Degree-aware block plan WITH hub-vertex splitting (north_star:
     "hub vertices split across ≥2 blocks, partial-aggregated then
@@ -294,6 +295,20 @@ def plan_walk_blocks(
         vids, counts = np.unique(rkeys, return_counts=True)
         indptr = np.concatenate(([0], np.cumsum(counts)))
         bid = int(tbl.column("block_id")[0].as_py())
+        if publish_root is not None:
+            # pack-time publication: the decoded arrays are in hand RIGHT
+            # NOW — publish them as the host's mmap side-files so the warm
+            # pass never re-reads + re-decodes the parquet it just wrote
+            # (the decode half of the anti-scaling warm phase in
+            # BENCH/scaling.json). Best-effort locality: on a multi-host
+            # cluster only the packing host is pre-published; other hosts
+            # fall back to the lazy decode+publish path. Runtime import —
+            # pagerank_mc imports this module at load time.
+            from montecarlopagerank_spark.algos.pagerank_mc import (
+                _publish_block,
+            )
+
+            _publish_block(publish_root, bid, (vids, indptr, indices))
 
         def one_list(values: np.ndarray, typ) -> pa.ListArray:
             return pa.ListArray.from_arrays(
