@@ -27,12 +27,21 @@ convergence delta and next step's dangling mass riding along as
 ``DataFrame.observe`` metrics on the written frame (no separate per-step
 aggregate job — at high core counts a second job's fixed schedule+IO cost
 dominates the superstep and caps scaling efficiency). The state table is
-exactly (v, rank) — the loop-invariant dangling flag lives in a cached
-co-partitioned side table instead, so BOTH per-step consumers of the
-state (the contributions join and the update join) scan the identical
-schema and sit above ONE ReusedExchange (a dang column in the state gave
-the two branches different pruned read schemas, defeating exchange reuse
-and costing a second O(V) state shuffle every superstep).
+(v, rank, dang): carrying the loop-invariant dangling flag IN the state
+lets the update join read the observed-mass flag for free — no per-step
+side-table join at all (a cached co-partitioned vflag join, the round-3
+shape, measured +0.3-0.5 s/step of pure fixed overhead at sf0.1).
+Exchange reuse still holds because BOTH per-step consumers of the state
+— the contributions join and the update join — are made to consume the
+IDENTICAL (v, rank, dang) schema: the contributions mass is written as
+``when(dang, 0.0).otherwise(rank·inv_deg)``, semantically a no-op (an
+edge's src has an out-edge by construction, so dang is always false on
+that branch) but syntactically a real reference that column pruning
+cannot remove, and an explicit ``isNotNull(v)`` filter above the
+repartition matches the not-null constraint the inner contributions
+join would otherwise push below its side of the exchange alone. Without
+both tricks the two branches' pruned/filtered subtrees differ and each
+pays its own O(V) state shuffle per superstep (the round-2 shape).
 """
 
 from __future__ import annotations
@@ -219,9 +228,16 @@ def pagerank_power(
         if resume:
             last = ckpt.last_complete_step()
             if last is not None:
-                state = ckpt.load_tables(last, ["state"])["state"].select(
-                    "v", "rank"  # pre-upgrade checkpoints carry an extra
-                )  # dang column; the select keeps resume compatible
+                loaded = ckpt.load_tables(last, ["state"])["state"]
+                if "dang" in loaded.columns:
+                    state = loaded.select("v", "rank", "dang")
+                else:
+                    # round-3-era checkpoints carry (v, rank) only:
+                    # re-attach the loop-invariant flag from the cached
+                    # co-partitioned side table — ONE setup-time join
+                    state = loaded.select("v", "rank").join(
+                        vflag.select("v", "dang").hint("shuffle_hash"), "v"
+                    )
                 man = ckpt.manifest(last) or {}
                 deltas = list(man.get("metrics", {}).get("deltas", []))
                 m = man.get("metrics", {}).get("next_dangling_mass")
@@ -253,13 +269,13 @@ def pagerank_power(
                 ).alias("md"),
             ).collect()[0]
             state = store.materialize(
-                r0.select("v", (F.col("rank") / row["s"]).alias("rank"))
+                r0.select("v", (F.col("rank") / row["s"]).alias("rank"), "dang")
             )
             r0.unpersist()
             m = (row["md"] or 0.0) / row["s"]
         elif sources is None:
             state = store.materialize(
-                vflag.select("v", (F.lit(1.0) / n).alias("rank"))
+                vflag.select("v", (F.lit(1.0) / n).alias("rank"), "dang")
             )
             m = n_dangling / n  # uniform init → closed-form dangling mass
         else:
@@ -269,12 +285,13 @@ def pagerank_power(
                     F.when(F.col("is_src"), F.lit(1.0) / ns)
                     .otherwise(F.lit(0.0))
                     .alias("rank"),
+                    "dang",
                 )
             )
             m = crow["nsd"] / ns  # π0 = p → dangling mass of the source set
     if m is None:  # resumed from a pre-upgrade manifest: one recovery job
         m = (
-            state.join(vflag.filter("dang").hint("shuffle_hash"), "v")
+            state.filter("dang")
             .agg(F.sum("rank").alias("m")).collect()[0]["m"] or 0.0
         )
 
@@ -284,27 +301,35 @@ def pagerank_power(
     t_loop = time.time()
     for it in range(start_step, max_iters):
         t_step = time.time()
-        # ONE state exchange per superstep: the freshly-read (v, rank)
-        # state is repartitioned by v ONCE and BOTH consumers — the
-        # contributions join and the update join — share the exchange
-        # (AQE reuses the identical shuffle stage; the state parquet is
-        # scanned once per step, verified in the executed plan). Two
-        # things make the subtrees identical: (1) the joins use EXPLICIT
-        # column conditions, never a rename over ``st`` — an alias
-        # project (v AS src / rank AS old_rank) gets pushed below the
-        # RepartitionByExpression and de-unifies the branches; renames
-        # happen above the joins instead; (2) the state schema is exactly
-        # the columns both branches consume, so column pruning cannot
-        # differentiate the scans (the inner vflag join infers
-        # isnotnull(v) on the update branch, matching the contributions
-        # branch's inner-join filter). Before this, the two joins
+        # ONE state exchange per superstep: the freshly-read
+        # (v, rank, dang) state is repartitioned by v ONCE and BOTH
+        # consumers — the contributions join and the update join — share
+        # the exchange (AQE reuses the identical shuffle stage; the state
+        # parquet is scanned once per step, verified in the executed
+        # plan). Three things make the subtrees identical: (1) the joins
+        # use EXPLICIT column conditions, never a rename over ``st`` — an
+        # alias project (v AS src / rank AS old_rank) gets pushed below
+        # the RepartitionByExpression and de-unifies the branches;
+        # renames happen above the joins instead; (2) the contributions
+        # mass is ``when(dang, 0.0).otherwise(rank·inv_deg)`` — a
+        # semantic no-op (an edge's src always has an out-edge, so dang
+        # is false on every joined row) that forces the contributions
+        # branch to consume the same (v, rank, dang) schema as the
+        # update branch, so column pruning cannot differentiate the
+        # scans; (3) the explicit isNotNull(v) filter above the
+        # repartition matches the not-null constraint the inner
+        # contributions join would otherwise infer and push below its
+        # side of the exchange alone. Before this, the two joins
         # exchanged the O(V) state independently (by src, then by v) — a
-        # third O(V) exchange per step that capped N-vs-4N loop
+        # second O(V) exchange per step that capped N-vs-4N loop
         # efficiency. The update join is exchange-FREE: state via the
-        # reused exchange, contributions from the final hash-aggregate,
-        # dangling flags from the co-partitioned cache — all
-        # hash(v, n_parts)-partitioned.
-        st = state.repartition(n_parts, "v")
+        # reused exchange, contributions from the final hash-aggregate —
+        # all hash(v, n_parts)-partitioned. The dangling flag for the
+        # observed mass metric rides the state itself (carrying the
+        # boolean costs ~1 byte/row in the exchange; the round-3
+        # alternative — a per-step join against a cached co-partitioned
+        # vflag — cost a measured +0.3-0.5 s/step of fixed overhead).
+        st = state.repartition(n_parts, "v").filter(F.col("v").isNotNull())
         # shuffle_hash hints: the rank vector is O(n) and must NEVER be
         # broadcast (a driver-serial hash build per superstep — measured
         # to flatline core-scaling once n·16B slips under the broadcast
@@ -317,34 +342,39 @@ def pagerank_power(
             )
             .select(
                 F.col("dst").alias("vc"),
-                (F.col("rank") * F.col("inv_deg")).alias("mass"),
+                F.when(st["dang"], F.lit(0.0))
+                .otherwise(F.col("rank") * F.col("inv_deg"))
+                .alias("mass"),
             )
             .groupBy("vc")
             .agg(F.sum("mass").alias("mass"))  # partial+final hash agg
         )
+        # ONE update join yields the new rank and per-vertex delta; the
+        # dangling flag for the observed mass metric comes from the state
+        joined = st.join(
+            contribs.hint("shuffle_hash"), st["v"] == contribs["vc"], "left"
+        )
         if sources is None:
             base_col = F.lit(eps / n + (1.0 - eps) * m / n)
         else:
-            # teleport + dangling mass both land on p (uniform over sources)
-            base_col = F.when(
-                vflag["is_src"], F.lit((eps + (1.0 - eps) * m) / ns)
-            ).otherwise(F.lit(0.0))
-        # ONE update join yields the new rank and per-vertex delta; the
-        # dangling flag for the observed mass metric comes from the cached
-        # co-partitioned vflag (exchange-free SHJ build of O(V) booleans)
-        joined = (
-            st.join(contribs.hint("shuffle_hash"), st["v"] == contribs["vc"], "left")
-            .join(vflag.hint("shuffle_hash"), st["v"] == vflag["v"])
-            .select(
-                st["v"].alias("v"), vflag["dang"].alias("dang"),
-                (
-                    base_col
-                    + F.lit(1.0 - eps) * F.coalesce(F.col("mass"), F.lit(0.0))
-                ).alias("rank"),
-                st["rank"].alias("old_rank"),
+            # teleport + dangling mass both land on p (uniform over
+            # sources); the loop-invariant source flag joins from the
+            # cached co-partitioned side table (personalized runs only)
+            vsrc = vflag.select("v", "is_src")
+            joined = joined.join(
+                vsrc.hint("shuffle_hash"), st["v"] == vsrc["v"]
             )
-            .withColumn("dv", F.abs(F.col("rank") - F.col("old_rank")))
-        )
+            base_col = F.when(
+                vsrc["is_src"], F.lit((eps + (1.0 - eps) * m) / ns)
+            ).otherwise(F.lit(0.0))
+        joined = joined.select(
+            st["v"].alias("v"), st["dang"].alias("dang"),
+            (
+                base_col
+                + F.lit(1.0 - eps) * F.coalesce(F.col("mass"), F.lit(0.0))
+            ).alias("rank"),
+            st["rank"].alias("old_rank"),
+        ).withColumn("dv", F.abs(F.col("rank") - F.col("old_rank")))
         # convergence delta + next step's dangling mass ride the write job
         # as observed metrics — zero extra jobs (SURVEY.md §3.4)
         obs = Observation(f"pi_step_{it}")
@@ -352,7 +382,7 @@ def pagerank_power(
             obs,
             F.max("dv").alias("d"),
             F.sum(F.when(F.col("dang"), F.col("rank"))).alias("m"),
-        ).select("v", "rank")
+        ).select("v", "rank", "dang")
         if ckpt:
             # parquet write = the step's ONE (and only) job; manifest commits after
             staged = ckpt.save_step(
