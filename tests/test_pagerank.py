@@ -467,3 +467,27 @@ def test_pi_weighted_multiplicity_equals_multigraph(spark):
     assert set(a) == set(b)
     for v in a:
         assert a[v] == pytest.approx(b[v], abs=1e-12), f"vertex {v}"
+
+
+def test_mc_pack_time_publication(spark, gnutella_mini, tmp_path):
+    """The pack kernel must publish each block's decoded arrays as mmap
+    side-files AT PACK TIME (under <csr>/_decoded), so the warm pass
+    only mmaps instead of re-reading + re-decoding the parquet it just
+    wrote — the fix for the anti-scaling MC warm phase. A regression to
+    lazy-only publication would silently revive it."""
+    import glob
+    import os
+
+    root = str(tmp_path / "mc_state")
+    r, info = pagerank_monte_carlo(
+        spark, gnutella_mini, walks_per_vertex=20, iterations=3, seed=3,
+        edges_per_block=1 << 12, state_root=root,
+    )
+    assert info["total_visits"] > 0
+    blocks = glob.glob(os.path.join(root, "csr", "block_id=*"))
+    published = glob.glob(os.path.join(root, "csr", "_decoded", "b*"))
+    assert blocks, "CSR parquet side-files missing"
+    assert len(published) == len(blocks)
+    for d in published:
+        for name in ("vids", "indptr", "indices"):
+            assert os.path.exists(os.path.join(d, f"{name}.npy"))
