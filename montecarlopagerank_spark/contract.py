@@ -96,7 +96,7 @@ def _mat(sql: str) -> str:
     total oracle wall bounded. Idempotent (``AS MATERIALIZED (`` no
     longer matches the pattern); self-referencing recursive CTEs like
     ``reach(src, dst) AS (`` are skipped because the char before
-    `` AS ("" is ``)``, not a word char."""
+    `` AS (`` is ``)``, not a word char."""
     return re.sub(r"(\n|WITH )(\w+) AS \(", r"\1\2 AS MATERIALIZED (", sql)
 
 

@@ -140,18 +140,20 @@ def main() -> None:
                 for k in ("plan", "csr_write", "warm", "rest")
             ],
             "",
-            "The `warm` pass ANTI-scales here by construction: it fans one",
-            "whole-graph CSR preload out to every Python worker, so total",
-            "warm work grows with core count while all \"nodes\" of this",
-            "local-mode \"cluster\" share ONE memory bus and one tmpfs. On a",
-            "real N-vs-4N cluster each executor node decodes its preload",
-            "against its own DRAM in parallel — per-node warm cost is",
-            "constant in cluster size. The same bandwidth ceiling caps",
-            "`csr_write` (Arrow pack + snappy parquet of the full edge set,",
-            "a memory-bound streaming pass). Both are one-time costs per",
-            "graph, amortized across every subsequent query at 10^12-turn",
-            "scale; the per-superstep loop — the number the metric names —",
-            "is the PASS column above.",
+            "The `warm` pass is now FLAT in core count (sub-second at both",
+            "levels): the pack kernel publishes each block's decoded arrays",
+            "as host-shared mmap side-files at pack time, so warming is",
+            "mmap setup, not a per-worker re-read + re-decode of the CSR",
+            "parquet (the round-3 warm phase anti-scaled: 8 s at 2 cores vs",
+            "48 s at 8 on this input). The remaining sub-4.0 ratios —",
+            "`plan` (edge exchange + degree agg) and `csr_write` (Arrow",
+            "pack + snappy parquet of the full edge set) — are memory-bound",
+            "streaming passes sharing ONE memory bus across all \"nodes\" of",
+            "this local-mode \"cluster\"; on a real N-vs-4N cluster each",
+            "executor streams against its own DRAM and local disk. Both are",
+            "one-time costs per graph, amortized across every subsequent",
+            "query at 10^12-turn scale; the per-superstep loop — the number",
+            "the metric names — is the PASS column above.",
             "",
         ]
 
@@ -191,6 +193,21 @@ def main() -> None:
             *[f"| {k} | {v} |" for k, v in q.items()],
             f"| **total** | **{b.get('value')}** |",
             "",
+            *(
+                [
+                    (
+                        "Round-over-round comparability: the registry grows "
+                        "every round, so compare `comparable_subtotal` "
+                        f"(**{b['comparable_subtotal']}s** over the fixed "
+                        "9-query set timed since round 2: "
+                        f"{', '.join(b.get('comparable_queries', []))}), "
+                        "never the grand total."
+                    ),
+                    "",
+                ]
+                if b.get("comparable_subtotal") is not None
+                else []
+            ),
             (
                 f"PI to 1e-6: {e.get('pi_supersteps')} supersteps, "
                 f"{e.get('pi_supersteps_per_sec')} steps/s, "
