@@ -41,13 +41,18 @@ two shuffles per step, the price of resumable parquet state:
    re-exchange the segment carry-over state; the loop is fully static
    so AQE has nothing to add. The graph itself is
    **host-resident**: CSR blocks are written ONCE at setup as parquet
-   side-files partitioned by block_id; the first worker to need a block
-   decodes it and PUBLISHES the numpy arrays as ``.npy`` files under
-   ``_decoded/`` (atomic dir rename), and every worker serves from
-   ``np.memmap`` views of those files (``_CSR_CACHE``) — one decode and
-   one page-cache copy per block per HOST, not per worker (the earlier
+   side-files partitioned by block_id, and the PACK KERNEL ITSELF
+   publishes each block's decoded numpy arrays as ``.npy`` files under
+   ``_decoded/`` at pack time (atomic dir rename; it has the arrays in
+   hand at that moment, so the warm pass never re-reads the parquet it
+   just wrote — measured sub-second at any core count). Every worker
+   serves from ``np.memmap`` views of those files (``_CSR_CACHE``) —
+   one decode and one page-cache copy per block per HOST, not per
+   worker. On a multi-host cluster the packing host is pre-published;
+   other hosts lazily decode+publish on first touch (the earlier
    per-worker in-memory caches decoded the graph N_workers× and held
-   N_workers copies: the anti-scaling warm phase in BENCH/scaling.json).
+   N_workers copies: the anti-scaling warm phase of round 3's
+   BENCH/scaling.json — 8 s at 2 cores vs 48 s at 8 on 100M edges).
    Earlier still, designs cogrouped a JVM-cached CSR table into the
    kernel, which re-shipped the whole graph JVM→Arrow→Python EVERY
    superstep — measured 429 MB/step at 100M edges, pure memory-bandwidth
