@@ -332,13 +332,25 @@ def _preload_all(csr_path: str) -> None:
     try:
         infos = fs.get_file_info(pafs.FileSelector(root, recursive=False))
     except (FileNotFoundError, OSError):
-        return
+        infos = []
     dir_ids = sorted(
         int(i.base_name.split("=", 1)[1])
         for i in infos
         if i.type == pafs.FileType.Directory
         and i.base_name.startswith("block_id=")
     )
+    if not dir_ids and _is_local(csr_path):
+        # single-host scratch runs skip the parquet side-files entirely
+        # (the pack kernel published the mmap arrays directly); the
+        # published dirs are then the authoritative block list
+        try:
+            dir_ids = sorted(
+                int(d[1:])
+                for d in os.listdir(f"{root.rstrip('/')}/_decoded")
+                if d.startswith("b") and d[1:].isdigit()
+            )
+        except (FileNotFoundError, OSError):
+            return
     if not dir_ids:
         return
     if all((csr_path, b) in _CSR_CACHE for b in dir_ids):
@@ -557,8 +569,10 @@ def pagerank_monte_carlo(
         edges_per_block=edges_per_block,
         n_partitions=n_parts,
         # pack-time publication needs a local (host-shared) root; DFS
-        # roots keep the lazy decode+publish path on first touch
-        publish_root=csr_path if _is_local(csr_path) else None,
+        # roots keep the lazy decode+publish path on first touch. The
+        # SCHEME-STRIPPED path is what _publish_block/_mmap_block key on
+        # (a raw file:// URI would os.makedirs a literal "file:" dir)
+        publish_root=_resolve_fs(csr_path)[1] if _is_local(csr_path) else None,
     )
     edges_per_block = plan_meta["edges_per_block"]
     if fuse_steps is None:
@@ -575,7 +589,12 @@ def pagerank_monte_carlo(
     # snappy for the side-files: they're scratch (read back by every
     # worker's resident-cache load), and snappy halves the encode CPU in
     # the 32 pack tasks for ~1.33× bytes — the right trade for a file
-    # whose lifetime is one run and whose read path is decode-bound
+    # whose lifetime is one run and whose read path is decode-bound.
+    # (A noop-sink variant that skipped this parquet write on single-host
+    # scratch runs was measured at 100M edges and bought nothing: the
+    # csr_write phase is the edge exchange + Arrow pack + publication,
+    # not the parquet encode — so the durable side-files stay
+    # unconditional.)
     csr.write.option("compression", "snappy").partitionBy(
         "block_id"
     ).mode("overwrite").parquet(csr_path)

@@ -472,8 +472,8 @@ def test_pi_weighted_multiplicity_equals_multigraph(spark):
 def test_mc_pack_time_publication(spark, gnutella_mini, tmp_path):
     """The pack kernel must publish each block's decoded arrays as mmap
     side-files AT PACK TIME (under <csr>/_decoded), so the warm pass
-    only mmaps instead of re-reading + re-decoding the parquet it just
-    wrote — the fix for the anti-scaling MC warm phase. A regression to
+    only mmaps instead of re-reading + re-decoding a parquet round-trip
+    — the fix for the anti-scaling MC warm phase. A regression to
     lazy-only publication would silently revive it."""
     import glob
     import os
@@ -491,3 +491,22 @@ def test_mc_pack_time_publication(spark, gnutella_mini, tmp_path):
     for d in published:
         for name in ("vids", "indptr", "indices"):
             assert os.path.exists(os.path.join(d, f"{name}.npy"))
+
+
+def test_mc_checkpoint_run_keeps_parquet_csr(spark, gnutella_mini, tmp_path):
+    """A resumable run (checkpoint_dir) must still write the durable
+    parquet CSR side-files — the noop-sink shortcut is scratch-only."""
+    import glob
+    import os
+
+    root = str(tmp_path / "mc_state")
+    r, info = pagerank_monte_carlo(
+        spark, gnutella_mini, walks_per_vertex=20, iterations=2, seed=3,
+        edges_per_block=1 << 12, state_root=root,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    assert info["total_visits"] > 0
+    blocks = glob.glob(os.path.join(root, "csr", "block_id=*"))
+    published = glob.glob(os.path.join(root, "csr", "_decoded", "b*"))
+    assert blocks, "resumable run must keep the parquet CSR"
+    assert len(published) == len(blocks)
