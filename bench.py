@@ -532,6 +532,14 @@ def main() -> None:
                 ),
                 "comparable_queries": comparable_9,
                 "sf": float(sf),
+                # host-load context: a uniform +10-25% drift across every
+                # query (driver r4 vs builder same-day run) tracks machine
+                # load, not code — record 1/5/15-min loadavg + cpu count
+                # so such drifts are attributable at a glance
+                "load": {
+                    "loadavg_1_5_15": [round(x, 2) for x in os.getloadavg()],
+                    "cpu_count": os.cpu_count(),
+                },
                 "extra": extra,
             }
         )

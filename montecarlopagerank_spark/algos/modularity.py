@@ -144,4 +144,6 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
             6,
         ).alias("modularity_r6")
     )
-    return q.select("modularity_r6", F.lit(m).alias("m"))
+    # lit() infers int32 for small Python ints — cast so m is always the
+    # documented long (the empty-graph branch already declares `m long`)
+    return q.select("modularity_r6", F.lit(m).cast("long").alias("m"))

@@ -61,7 +61,17 @@ def minimum_spanning_forest(
     None, else ``(w, md5 key)`` lexicographic. ``info['converged']`` is
     True iff the pick set emptied within ``max_rounds`` AND every
     round's pointer-jumping verifiably flattened; ``info['n_edges']``
-    is the forest size (= V − #components, checked by tests)."""
+    is the forest size (= V − #components, checked by tests).
+
+    Weight contract: ``weight_col`` values must be non-negative (a
+    negative minimum raises ``ValueError``), and weights are compared at
+    a resolution of 1e-9 — the priority encoding is a fixed-width
+    ``"%030.9f"`` prefix, so weights that differ only beyond 9 decimal
+    places compare EQUAL and the deterministic md5 key breaks the tie.
+    The result is still *a* minimum spanning forest at that resolution
+    (any tie-broken optimum is an optimum), but callers relying on
+    sub-1e-9 weight differences to pick a specific edge should pre-scale
+    their weights."""
     t0 = time.time()
     store = StateStore(spark)
 

@@ -201,19 +201,35 @@ _CSR_CACHE_CAP = int(os.environ.get("SPARK_GRAFT_CSR_CACHE_BYTES", 4 << 30))
 _CSR_ARRAYS = ("vids", "indptr", "indices")
 
 
+def _strip_file_scheme(path: str) -> str | None:
+    """``file:`` URI → plain local path, else None. Handles BOTH slash
+    forms: ``file:///p`` / ``file://p`` AND the Hadoop/Spark-normalized
+    single-slash ``file:/p`` (``Path.toString`` emits that form), which
+    has no ``://`` and previously fell through both ``_resolve_fs`` and
+    the publish-root stripping — so ``_publish_block`` os.makedirs'd a
+    literal cwd-relative ``file:`` directory (the r4 junk-dir bug)."""
+    if not path.startswith("file:"):
+        return None
+    return "/" + path[5:].lstrip("/")
+
+
 def _resolve_fs(path: str) -> tuple[pafs.FileSystem, str]:
     """Resolve a CSR root to (pyarrow FileSystem, fs-local path). Plain
-    paths stay on the local FS; URIs (``file://``, ``hdfs://``, ``s3://``)
-    go through ``FileSystem.from_uri`` — this is what makes the worker-
-    resident CSR design work when state lives on DFS (the 10^12-edge
-    deployment shape), not only when executors share the driver's disk."""
+    paths and ``file:`` URIs (any slash count) stay on the local FS;
+    other URIs (``hdfs://``, ``s3://``) go through
+    ``FileSystem.from_uri`` — this is what makes the worker-resident CSR
+    design work when state lives on DFS (the 10^12-edge deployment
+    shape), not only when executors share the driver's disk."""
+    local = _strip_file_scheme(path)
+    if local is not None:
+        return pafs.LocalFileSystem(), local
     if "://" in path:
         return pafs.FileSystem.from_uri(path)
     return pafs.LocalFileSystem(), path
 
 
 def _is_local(csr_path: str) -> bool:
-    return "://" not in csr_path or csr_path.startswith("file://")
+    return csr_path.startswith("file:") or "://" not in csr_path
 
 
 def _decode_part(fs, part: str):
@@ -340,9 +356,11 @@ def _preload_all(csr_path: str) -> None:
         and i.base_name.startswith("block_id=")
     )
     if not dir_ids and _is_local(csr_path):
-        # single-host scratch runs skip the parquet side-files entirely
-        # (the pack kernel published the mmap arrays directly); the
-        # published dirs are then the authoritative block list
+        # defensive hardening only: the parquet CSR write is
+        # unconditional, so block_id= dirs should always exist — but if
+        # the listing failed or came back empty (partial purge, racing
+        # filesystem), the pack-time-published mmap dirs are a usable
+        # fallback block list on local roots
         try:
             dir_ids = sorted(
                 int(d[1:])

@@ -172,14 +172,16 @@ def pagerank_power(
     contrib_edges = contrib_edges.repartition(n_parts, "src").persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    # loop-invariant dangling flags, cached OUTSIDE the state table (see
-    # module docstring: a dang column in the state breaks exchange reuse).
-    # The explicit repartition at the cache boundary makes hash(v)
-    # partitioning visible through the cache (AQE hides it otherwise), so
-    # the per-step flag join is exchange-free; the superstep's single
-    # write job still yields the next dangling mass as an observed metric
-    # (no per-step lookup job — the reference pays a full lookup(-1)
-    # action per superstep, PowerIterationPageRank.scala:111)
+    # vflag is the SETUP-TIME flag source only (state init, resume
+    # backfill, personalization weights): since r4 the dang flag rides
+    # the state table itself, so the superstep loop never joins vflag —
+    # see the module docstring for why exchange reuse still holds with
+    # dang in the state. The explicit repartition at the cache boundary
+    # makes hash(v) partitioning visible through the cache (AQE hides it
+    # otherwise); the superstep's single write job yields the next
+    # dangling mass as an observed metric (no per-step lookup job — the
+    # reference pays a full lookup(-1) action per superstep,
+    # PowerIterationPageRank.scala:111)
     vaux = deg.select("v", (F.col("out_deg") == 0).alias("dang"))
     if sources is not None:
         # personalization flag joins ONCE at setup into the same cached

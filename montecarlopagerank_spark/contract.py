@@ -1716,7 +1716,7 @@ cand AS (
   FROM probes p JOIN corpus co USING (cid)
   WHERE co.cand_id <> p.query_id
 )
-SELECT query_id, rank, match_id, cos_r6 FROM (
+SELECT query_id, CAST(rank AS INT) AS rank, match_id, cos_r6 FROM (
   SELECT query_id, cand_id AS match_id, cos_r6,
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY cos_r6 DESC, cand_id) AS rank
@@ -4028,14 +4028,64 @@ def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # degree quartet, harmonic-vs-closeness, hits-vs-salsa, …) and the
 # rows-only-by-design stochastic/sketch queries follow after slot 50.
 QUERIES = {
-    # -- slots 1-50: one representative per operator family ------------
-    "transcripts_view": q_transcripts_view,
-    "conversation_profile": q_conversation_profile,
+    # -- slots 1-50 (r5 window): 5 regression sentinels (the 4 PageRank
+    # variants + vertex_features, red in r03/r04, cast-fixed this round),
+    # then EVERY query never driver-checked in rounds 1-4 (33), then the
+    # least-recently-checked hash-oracled queries (last green r2/r3).
+    # Union of r01-r05 windows now covers all 126 registered queries.
     "vertex_features": q_vertex_features,
     "pagerank_power_fixed": q_pagerank_power_fixed,
     "pagerank_weighted_fixed": q_pagerank_weighted_fixed,
     "pagerank_warm_fixed": q_pagerank_warm_fixed,
     "pagerank_personalized_fixed": q_pagerank_personalized_fixed,
+    "bpe_token_total": q_bpe_token_total,
+    "bigram_lm": q_bigram_lm,
+    "turn_latency": q_turn_latency,
+    "vocab_stats": q_vocab_stats,
+    "readability": q_readability,
+    "dedup_verdicts": q_dedup_verdicts,
+    "embedding_dim_stats": q_embedding_dim_stats,
+    "pca_project_embeddings": q_pca_project_embeddings,
+    "sliding_event_counts": q_sliding_event_counts,
+    "bottomk_sample_docs": q_bottomk_sample_docs,
+    "mixture_sample_counts": q_mixture_sample_counts,
+    "chunk_documents": q_chunk_documents,
+    "stratified_sample_docs": q_stratified_sample_docs,
+    "upsample_docs": q_upsample_docs,
+    "hashed_features": q_hashed_features,
+    "count_min_sketch": q_count_min_sketch,
+    "edge_delta_append": q_edge_delta_append,
+    "null_model_rewire": q_null_model_rewire,
+    "temporal_relays": q_temporal_relays,
+    "retention_weekly": q_retention_weekly,
+    "event_transitions": q_event_transitions,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "bm25_search_top20": q_bm25_search_top20,
+    "tool_cooccurrence": q_tool_cooccurrence,
+    "reciprocity": q_reciprocity,
+    "eigenvector_fixed6": q_eigenvector_fixed6,
+    "louvain_level1_sizes": q_louvain_level1_sizes,
+    "mis_vertices": q_mis_vertices,
+    "max_matching": q_max_matching,
+    "repetition_stats": q_repetition_stats,
+    "contamination_check": q_contamination_check,
+    "kmeans_embeddings": q_kmeans_embeddings,
+    "sq_topk": q_sq_topk,
+    "quality_score": q_quality_score,
+    "langid_heuristic": q_langid_heuristic,
+    "doc_fingerprint": q_doc_fingerprint,
+    "embedding_near_dup_exact": q_embedding_near_dup_exact,
+    "pagerank_power_top20": q_pagerank_power_top20,
+    "transcripts_jsonl_roundtrip": q_transcripts_jsonl_roundtrip,
+    "transcripts_orc_roundtrip": q_transcripts_orc_roundtrip,
+    "tool_context_terms": q_tool_context_terms,
+    "role_role_matrix": q_role_role_matrix,
+    "tool_usage": q_tool_usage,
+    "degree_top20": q_degree_top20,
+    "degree_distribution": q_degree_distribution,
+    # -- slots 51+: queries with recent (r3/r4) driver-green rows ----
+    "transcripts_view": q_transcripts_view,
+    "conversation_profile": q_conversation_profile,
     "edge_counts_by_kind": q_edge_counts_by_kind,
     "edges_streaming_counts": q_edges_streaming_counts,
     "turn_chain_edges": q_turn_chain_edges,
@@ -4079,17 +4129,8 @@ QUERIES = {
     "gopher_quality_flags": q_gopher_quality_flags,
     "pii_scrub_events": q_pii_scrub_events,
     "bpe_merges": q_bpe_merges,
-    # -- slots 51+: family variants + rows-only-by-design queries ------
-    "pagerank_power_top20": q_pagerank_power_top20,
     "pagerank_mc_top20": q_pagerank_mc_top20,
     "mc_pi_agreement": q_mc_pi_agreement,
-    "transcripts_jsonl_roundtrip": q_transcripts_jsonl_roundtrip,
-    "transcripts_orc_roundtrip": q_transcripts_orc_roundtrip,
-    "tool_context_terms": q_tool_context_terms,
-    "role_role_matrix": q_role_role_matrix,
-    "tool_usage": q_tool_usage,
-    "degree_top20": q_degree_top20,
-    "degree_distribution": q_degree_distribution,
     "degree_quantiles": q_degree_quantiles,
     "degree_assortativity": q_degree_assortativity,
     "rich_club": q_rich_club,
@@ -4115,48 +4156,12 @@ QUERIES = {
     "conductance_cc": q_conductance_cc,
     "token_stats": q_token_stats,
     "unigram_lm": q_unigram_lm,
-    "bpe_token_total": q_bpe_token_total,
-    "bigram_lm": q_bigram_lm,
-    "turn_latency": q_turn_latency,
-    "vocab_stats": q_vocab_stats,
-    "quality_score": q_quality_score,
-    "readability": q_readability,
-    "langid_heuristic": q_langid_heuristic,
-    "doc_fingerprint": q_doc_fingerprint,
-    "dedup_verdicts": q_dedup_verdicts,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
     "simhash_near_dupes": q_simhash_near_dupes,
-    "embedding_dim_stats": q_embedding_dim_stats,
-    "pca_project_embeddings": q_pca_project_embeddings,
     "embedding_topk_lsh": q_embedding_topk_lsh,
-    "embedding_near_dup_exact": q_embedding_near_dup_exact,
     "media_features": q_media_features,
-    "sliding_event_counts": q_sliding_event_counts,
-    "bottomk_sample_docs": q_bottomk_sample_docs,
-    "mixture_sample_counts": q_mixture_sample_counts,
-    "chunk_documents": q_chunk_documents,
-    "stratified_sample_docs": q_stratified_sample_docs,
-    "upsample_docs": q_upsample_docs,
-    "hashed_features": q_hashed_features,
-    "count_min_sketch": q_count_min_sketch,
-    "edge_delta_append": q_edge_delta_append,
-    "null_model_rewire": q_null_model_rewire,
-    "temporal_relays": q_temporal_relays,
-    "retention_weekly": q_retention_weekly,
-    "event_transitions": q_event_transitions,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "bm25_search_top20": q_bm25_search_top20,
-    "tool_cooccurrence": q_tool_cooccurrence,
-    "reciprocity": q_reciprocity,
-    "eigenvector_fixed6": q_eigenvector_fixed6,
-    "louvain_level1_sizes": q_louvain_level1_sizes,
-    "mis_vertices": q_mis_vertices,
-    "max_matching": q_max_matching,
-    "repetition_stats": q_repetition_stats,
-    "contamination_check": q_contamination_check,
-    "kmeans_embeddings": q_kmeans_embeddings,
-    "sq_topk": q_sq_topk,
 }
+
 
 
 # ---------------------------------------------------------------------------
@@ -4236,7 +4241,7 @@ alld AS (
   SELECT COALESCE(outd.out_deg, 0) AS od
   FROM verts LEFT JOIN outd ON verts.v = outd.v
 )
-SELECT p, ROUND(q, 6) AS q_r6 FROM (
+SELECT CAST(p AS DOUBLE) AS p, ROUND(q, 6) AS q_r6 FROM (
   SELECT UNNEST([0.5, 0.9, 0.99, 0.999]) AS p,
          UNNEST(quantile_cont(od, [0.5, 0.9, 0.99, 0.999])) AS q
   FROM alld
@@ -4443,8 +4448,8 @@ verts AS (SELECT src AS v FROM tedges UNION SELECT dst FROM tedges)
 SELECT verts.v, COALESCE(od.out_deg, 0) AS out_deg,
        COALESCE(idg.in_deg, 0) AS in_deg,
        COALESCE(deg.deg, 0) AS deg,
-       COALESCE(nbr.sum_nbr_deg, 0) AS sum_nbr_deg,
-       COALESCE(nbr.wedges, 0) AS wedges
+       CAST(COALESCE(nbr.sum_nbr_deg, 0) AS BIGINT) AS sum_nbr_deg,
+       CAST(COALESCE(nbr.wedges, 0) AS BIGINT) AS wedges
 FROM verts LEFT JOIN od USING (v) LEFT JOIN idg USING (v)
      LEFT JOIN deg USING (v) LEFT JOIN nbr USING (v)
 """,
@@ -4743,7 +4748,8 @@ SELECT doc_id,
          (CASE WHEN n_chars >= 50 AND n_chars <= 20000 THEN 0.4 ELSE 0.0 END)
          + (CASE WHEN stop_ratio >= 0.01 AND stop_ratio <= 0.6 THEN 0.3 ELSE 0.0 END)
          + (CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 12.0 THEN 0.2 ELSE 0.0 END)
-         + (CASE WHEN punct_ratio <= 0.1 THEN 0.1 ELSE 0.0 END), 2) AS quality
+         + (CASE WHEN punct_ratio <= 0.1 THEN 0.1 ELSE 0.0 END), 2)
+         :: DOUBLE AS quality
 FROM m
 """,
     "readability": r"""

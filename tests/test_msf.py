@@ -157,3 +157,32 @@ def test_weighted_negative_raises(spark):
     )
     with pytest.raises(ValueError, match="negative weight"):
         minimum_spanning_forest(spark, df, weight_col="w")
+
+
+def test_weighted_sub_nano_difference_ties_to_md5_order(spark):
+    """Documented weight contract: weights differing only beyond 9
+    decimals quantize EQUAL under the %030.9f priority prefix, so the
+    md5 key — not the sub-1e-9 weight difference — picks the edge. Both
+    candidate edges here share the same quantized weight; the result
+    must be deterministic across runs and must keep exactly one of them
+    (still a valid MSF at 1e-9 resolution)."""
+    # (0,1) is heavier by 1e-12 — BELOW resolution; (0,2) by 1e-3 — above
+    rows = [(0, 1, 1.0 + 1e-12), (0, 2, 1.0), (1, 2, 1.0 + 1e-3)]
+    df = spark.createDataFrame(rows, "src long, dst long, w double")
+    out1, info1 = minimum_spanning_forest(spark, df, weight_col="w")
+    got1 = {(r.x, r.y) for r in out1.collect()}
+    # the clearly-heavier (1,2) must be the dropped edge
+    assert got1 == {(0, 1), (0, 2)}
+    assert info1["converged"]
+    # determinism: same input → identical forest (md5 tie-break is stable)
+    out2, _ = minimum_spanning_forest(spark, df, weight_col="w")
+    assert {(r.x, r.y) for r in out2.collect()} == got1
+    # and a pure sub-resolution triangle: all three weights tie at 1e-9,
+    # forest must still be a spanning tree (2 edges) picked by md5 order
+    rows3 = [(0, 1, 2.0), (0, 2, 2.0 + 1e-13), (1, 2, 2.0 + 2e-13)]
+    df3 = spark.createDataFrame(rows3, "src long, dst long, w double")
+    outa, infoa = minimum_spanning_forest(spark, df3, weight_col="w")
+    outb, _ = minimum_spanning_forest(spark, df3, weight_col="w")
+    ga = {(r.x, r.y) for r in outa.collect()}
+    gb = {(r.x, r.y) for r in outb.collect()}
+    assert len(ga) == 2 and ga == gb and infoa["converged"]

@@ -8,6 +8,7 @@ MC is a stochastic estimator → statistical tolerance, documented per test
 from __future__ import annotations
 
 import math
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -266,6 +267,43 @@ def test_mc_state_root_file_uri(spark, gnutella_mini, tmp_path):
     )
     assert ranks_dict(r_uri) == d_local
     assert info["total_visits"] > 0
+    # the r4 publication bug wrote a literal cwd-relative "file:" dir
+    # when the scheme survived stripping — assert no stray dir appeared
+    # outside the state root (double-slash form)
+    assert not os.path.exists("file:")
+
+
+def test_mc_state_root_file_uri_single_slash(spark, gnutella_mini, tmp_path):
+    """Hadoop/Spark normalize local URIs to the single-slash ``file:/p``
+    form (``Path.toString``), which has no ``://``. That form must strip
+    to a plain local path too — previously it passed ``_is_local`` but
+    was returned unstripped, so ``_publish_block`` recreated the literal
+    ``file:`` junk dir under cwd (the exact bug 470f79c fixed for the
+    double-slash form)."""
+    from montecarlopagerank_spark.algos import pagerank_mc as mc
+
+    assert mc._strip_file_scheme(f"file:{tmp_path}/x") == f"{tmp_path}/x"
+    assert mc._strip_file_scheme(f"file://{tmp_path}/x") == f"{tmp_path}/x"
+    assert mc._strip_file_scheme(f"file:///{tmp_path.name}") == (
+        "/" + tmp_path.name
+    )
+    assert mc._strip_file_scheme("/plain/path") is None
+    assert mc._strip_file_scheme("hdfs://nn/path") is None
+    r_local, _ = pagerank_monte_carlo(
+        spark, gnutella_mini, walks_per_vertex=20, iterations=5, seed=3,
+        edges_per_block=1 << 12,
+    )
+    d_local = ranks_dict(r_local)
+    r_uri, info = pagerank_monte_carlo(
+        spark, gnutella_mini, walks_per_vertex=20, iterations=5, seed=3,
+        edges_per_block=1 << 12, state_root=f"file:{tmp_path}/mc_state1",
+    )
+    assert ranks_dict(r_uri) == d_local
+    assert info["total_visits"] > 0
+    # published decode side-files landed under the STRIPPED root, and no
+    # literal "file:" directory was created anywhere under cwd
+    assert os.path.isdir(f"{tmp_path}/mc_state1/csr/_decoded")
+    assert not os.path.exists("file:")
 
 
 def test_publish_block_race_loser_discards(tmp_path):

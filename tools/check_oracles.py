@@ -2,7 +2,11 @@
 at sf0.01 (mirrors the driver's CORRECTNESS gate).
 
 Usage: python tools/check_oracles.py [sf_dir] [query ...]
-Compares row count, column names/dtypes, and order-insensitive values.
+Compares row count, column names, Arrow-level column TYPES (strict — a
+DuckDB decimal128 vs Spark int64 mismatch is a FAIL here, exactly as it
+is at the driver's typed hash; r4's `vertex_features` red row survived
+two rounds because the old pandas-object stringification hid it), and
+order-insensitive values.
 """
 
 from __future__ import annotations
@@ -12,6 +16,7 @@ import sys
 
 import duckdb
 import pandas as pd
+import pyarrow as pa
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -30,6 +35,42 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         df.sort_values(list(df.columns), kind="mergesort")
         .reset_index(drop=True)
     )
+
+
+def canon_type(t: pa.DataType) -> str:
+    """Canonical type label for strict cross-engine comparison.
+
+    Numeric kinds and widths are NOT collapsed (int64 != decimal128 !=
+    float64 != int32) — that distinction is the whole point. Only
+    representation variants that carry identical value semantics are
+    normalized: large_string/string, large_binary/binary, large_list/
+    list, and timestamp timezone annotation (Spark's session-tz-stamped
+    timestamps vs DuckDB's naive ones hash identically at the driver).
+    """
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return f"timestamp[{t.unit}]"
+    if (pa.types.is_list(t) or pa.types.is_large_list(t)
+            or pa.types.is_fixed_size_list(t)):
+        return f"list<{canon_type(t.value_type)}>"
+    if pa.types.is_dictionary(t):
+        return canon_type(t.value_type)
+    return str(t)
+
+
+def type_mismatches(sa: pa.Schema, oa: pa.Schema) -> list[str]:
+    """Strictly compare two Arrow schemas by column name (order-free)."""
+    smap = {f.name: canon_type(f.type) for f in sa}
+    omap = {f.name: canon_type(f.type) for f in oa}
+    out = []
+    for name in sorted(set(smap) | set(omap)):
+        st, ot = smap.get(name), omap.get(name)
+        if st != ot:
+            out.append(f"{name}: spark={st} vs oracle={ot}")
+    return out
 
 
 def main() -> int:
@@ -58,7 +99,8 @@ def main() -> int:
             continue
         try:
             sdf = fn(spark, sf_dir)
-            spdf = sdf.toPandas()
+            sat = sdf.toArrow()
+            spdf = sat.to_pandas()
         except Exception as ex:
             print(f"FAIL  {name}: spark error {type(ex).__name__}: {ex}")
             n_fail += 1
@@ -67,9 +109,17 @@ def main() -> int:
             print(f"rows  {name}: {len(spdf)} rows (rows-only, no oracle)")
             continue
         try:
-            odf = con.sql(oracles[name]).df()
+            oat = con.sql(oracles[name]).arrow()
+            if isinstance(oat, pa.RecordBatchReader):
+                oat = oat.read_all()
+            odf = oat.to_pandas()
         except Exception as ex:
             print(f"FAIL  {name}: oracle error {type(ex).__name__}: {ex}")
+            n_fail += 1
+            continue
+        tmm = type_mismatches(sat.schema, oat.schema)
+        if tmm:
+            print(f"FAIL  {name}: arrow types differ: {'; '.join(tmm)}")
             n_fail += 1
             continue
         a, b = canon(spdf), canon(odf)
