@@ -121,9 +121,17 @@ def test_mat_materializes_every_cte_idempotently():
 def test_registry_window_covers_oracled_queries():
     """The driver's CORRECTNESS gate windows the first 50 registry
     entries — every one of those slots must carry a hash-checkable
-    oracle (a rows-only query in the window wastes a slot)."""
+    oracle (a rows-only query in the window mostly wastes a slot).
+    One documented exception for the r5 rotation:
+    pca_project_embeddings is rows-only BY DESIGN (numpy-exact pytest
+    oracle, no SQL twin) and is the single registered query that has
+    never had a driver row of any kind — one window slot buys its
+    first driver rows-check so the r01-r05 window union covers the
+    whole registry."""
     from montecarlopagerank_spark.contract import ORACLE_SQL, QUERIES
 
+    allowed_rows_only = {"pca_project_embeddings"}
     head = list(QUERIES)[:50]
-    missing = [k for k in head if k not in ORACLE_SQL]
+    missing = [k for k in head
+               if k not in ORACLE_SQL and k not in allowed_rows_only]
     assert not missing, missing
