@@ -480,9 +480,29 @@ def _walk_kernel(csr_path: str, eps: float, seed: int, step: int):
         total = int(survivors.sum())
         if total == 0:
             return empty
-        starts = np.repeat(indptr[locc], survivors)
-        lens = np.repeat(k, survivors)
-        dest = indices[starts + (rng.random(total) * lens).astype(np.int64)]
+        # Per-WALK temp arrays dominate the loop's DRAM traffic (the
+        # stage is memory-bound: BENCH/BASELINE.md's 2→8-core task-time
+        # inflation). indptr[locc] and k are per-ROW (small) — downcast
+        # them BEFORE the per-walk np.repeat so starts/lens/pick are all
+        # 4-byte and the uniform draws are float32, halving bytes/walk.
+        # Guards: int32 offsets need < 2^31 edges in the block (true by
+        # construction, blocks are ~2/slot), float32 picks need every
+        # degree < 2^24 so idx*lens keeps unit precision. The branch
+        # depends only on block content → identical at any parallelism
+        # (the invariance BENCH/scaling.json proves byte-for-byte).
+        if len(indices) < (1 << 31) and int(k.max()) < (1 << 24):
+            starts = np.repeat(indptr[locc].astype(np.int32), survivors)
+            lens = np.repeat(k.astype(np.int32), survivors)
+            pick = (rng.random(total, dtype=np.float32) * lens).astype(
+                np.int32
+            )
+            # f32 product rounding can land exactly on lens — clamp
+            np.minimum(pick, lens - 1, out=pick)
+        else:
+            starts = np.repeat(indptr[locc], survivors)
+            lens = np.repeat(k, survivors)
+            pick = (rng.random(total) * lens).astype(np.int64)
+        dest = indices[starts + pick]
         dst, cnt = np.unique(dest, return_counts=True)  # per-block coalescing
         return pa.table(
             {

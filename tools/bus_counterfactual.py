@@ -104,8 +104,10 @@ def leg(n_procs: int, n_vertices: int, avg_degree: int, walks: int,
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--procs", type=int, default=4,
-                    help="high-parallelism level (vs 1)")
+    ap.add_argument("--low-procs", type=int, default=2,
+                    help="low level — matches the scaling windows' local[2]")
+    ap.add_argument("--high-procs", type=int, default=8,
+                    help="high level — matches the windows' local[8]")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--out",
                     default=os.path.join(REPO, "BENCH",
@@ -124,28 +126,35 @@ def main() -> None:
         "dram_sized": dict(n_vertices=args.big_vertices, steps=6),
         "cache_sized": dict(n_vertices=args.small_vertices, steps=300),
     }
-    report = {"procs": args.procs, "l3_bytes": None, "legs": {}}
+    report = {"low_procs": args.low_procs, "high_procs": args.high_procs,
+              "l3_bytes": None, "legs": {}}
     try:  # record the cache size the sizing argument rests on
         with open("/sys/devices/system/cpu/cpu0/cache/index3/size") as f:
             report["l3_bytes"] = f.read().strip()
     except OSError:
         pass
     for name, cfg in configs.items():
-        solo = [leg(1, cfg["n_vertices"], 16, args.walks, cfg["steps"])
-                for _ in range(args.repeats)]
-        multi = [leg(args.procs, cfg["n_vertices"], 16, args.walks,
-                     cfg["steps"]) for _ in range(args.repeats)]
-        s, m = float(np.median(solo)), float(np.median(multi))
+        # interleave low/high repeats so host drift hits both sides
+        lows, highs = [], []
+        for _ in range(args.repeats):
+            lows.append(leg(args.low_procs, cfg["n_vertices"], 16,
+                            args.walks, cfg["steps"]))
+            highs.append(leg(args.high_procs, cfg["n_vertices"], 16,
+                             args.walks, cfg["steps"]))
+        s, m = float(np.median(lows)), float(np.median(highs))
         report["legs"][name] = {
-            "solo_median_s": round(s, 3),
-            "concurrent_median_s": round(m, 3),
+            "low_median_s": round(s, 3),
+            "high_median_s": round(m, 3),
+            # per-process work is identical at both levels, so perfect
+            # hardware scaling = 1.0; this is the interference term the
+            # Spark-level MC loop ratio divides by
             "inflation": round(m / s, 3),
-            "solo_all": [round(x, 3) for x in solo],
-            "concurrent_all": [round(x, 3) for x in multi],
+            "low_all": [round(x, 3) for x in lows],
+            "high_all": [round(x, 3) for x in highs],
             **cfg,
         }
-        print(f"{name}: solo {s:.3f}s  {args.procs}-proc {m:.3f}s  "
-              f"inflation {m / s:.3f}")
+        print(f"{name}: {args.low_procs}-proc {s:.3f}s  "
+              f"{args.high_procs}-proc {m:.3f}s  inflation {m / s:.3f}")
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
