@@ -27,6 +27,9 @@ from montecarlopagerank_spark.session import get_spark  # noqa: E402
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # PRE-EXISTING host load, sampled before Spark spins up any work —
+    # the end-of-run loadavg would mostly measure this bench itself
+    load_at_start = [round(x, 2) for x in os.getloadavg()]
     spark = get_spark(app_name="bench")
 
     from montecarlopagerank_spark.algos.bfs import bfs_hops
@@ -534,10 +537,13 @@ def main() -> None:
                 "sf": float(sf),
                 # host-load context: a uniform +10-25% drift across every
                 # query (driver r4 vs builder same-day run) tracks machine
-                # load, not code — record 1/5/15-min loadavg + cpu count
-                # so such drifts are attributable at a glance
+                # load, not code — record the PRE-RUN 1/5/15-min loadavg +
+                # cpu count so such drifts are attributable at a glance
                 "load": {
-                    "loadavg_1_5_15": [round(x, 2) for x in os.getloadavg()],
+                    "loadavg_1_5_15_at_start": load_at_start,
+                    "loadavg_1_5_15_at_end": [
+                        round(x, 2) for x in os.getloadavg()
+                    ],
                     "cpu_count": os.cpu_count(),
                 },
                 "extra": extra,
