@@ -135,9 +135,12 @@ def main() -> None:
         "the shared bus at 8 concurrent kernels. Two independent",
         "measurements localize the gap to the memory system rather than",
         "the engine: the per-stage event-log profile",
-        "(`tools/stage_profile.py`, 100M-edge run, round 4) shows the",
-        "fused walk-kernel stage's summed TASK time inflating ~2.0× from",
-        "2 to 8 cores for identical work while every other loop stage",
+        "(`tools/stage_profile.py`, 100M-edge run, refreshed this round",
+        "with the new kernel — `BENCH/stage_profile_r5_{2c,8c}.txt`)",
+        "shows the fused walk-kernel stage's summed TASK time inflating",
+        "1.71× from 2 to 8 cores for identical work (135.8 s → 232.6 s;",
+        "round 4's heavier kernel inflated 2.0×, so the byte diet",
+        "measurably reduced bus pressure) while every other loop stage",
         "inflates ≤1.2×; and the controlled counterfactual below runs the",
         "EXACT kernel outside Spark at two working-set sizes. On a real",
         "N-vs-4N cluster each executor's kernels stream coupons against",
